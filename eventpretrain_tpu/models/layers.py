@@ -1,0 +1,250 @@
+"""Transformer building blocks (flax.linen, channels-last, bf16-friendly).
+
+TPU-native equivalents of reference model/sub_module/vit_block.py: the same
+parameter surface (qkv fused Dense, LN+GELU patch embed, pre-norm blocks) so
+released PyTorch checkpoints map 1:1, but attention uses a fused
+scaled-dot-product path by default and only materializes the (B, H, N, N)
+attention matrix when ``return_attn=True`` (the reference always returns it,
+reference vit_block.py:131-143, which would waste HBM bandwidth on TPU).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+Dtype = Any
+
+
+def drop_path(
+    key: jax.Array, x: jax.Array, rate: float
+) -> jax.Array:
+    """Stochastic depth: drop the whole residual branch per sample."""
+    if rate == 0.0:
+        return x
+    keep_prob = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    keep = jax.random.bernoulli(key, keep_prob, shape)
+    return jnp.where(keep, x / keep_prob, 0.0)
+
+
+class DropPath(nn.Module):
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        if self.rate == 0.0 or deterministic:
+            return x
+        return drop_path(self.make_rng("dropout"), x, self.rate)
+
+
+class Mlp(nn.Module):
+    """MLP with GELU (reference vit_block.py:215-231)."""
+
+    hidden_dim: int
+    out_dim: Optional[int] = None
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        out_dim = self.out_dim or x.shape[-1]
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.dropout)(x, deterministic)
+        x = nn.Dense(out_dim, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.dropout)(x, deterministic)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with fused qkv (reference vit_block.py:118-143).
+
+    ``return_attn=False`` uses the fused dot-product-attention path (no NxN
+    materialization); ``True`` returns post-softmax weights for visualization.
+    """
+
+    num_heads: int
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        deterministic: bool = True,
+        return_attn: bool = False,
+        attn_bias: Optional[jax.Array] = None,
+    ):
+        b, n, c = x.shape
+        head_dim = c // self.num_heads
+        scale = self.qk_scale or head_dim ** -0.5
+
+        qkv = nn.Dense(
+            c * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv"
+        )(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b, n, h, d)
+
+        attn_weights = None
+        if return_attn or attn_bias is not None or self.attn_drop > 0.0:
+            q = q.transpose(0, 2, 1, 3)  # (b, h, n, d)
+            k = k.transpose(0, 2, 1, 3)
+            v = v.transpose(0, 2, 1, 3)
+            attn = (q @ k.transpose(0, 1, 3, 2)) * scale
+            if attn_bias is not None:
+                attn = attn + attn_bias
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(
+                self.dtype
+            )
+            attn_weights = attn
+            attn = nn.Dropout(self.attn_drop)(attn, deterministic)
+            out = (attn @ v).transpose(0, 2, 1, 3).reshape(b, n, c)
+        else:
+            out = jax.nn.dot_product_attention(q, k, v, scale=scale)
+            out = out.reshape(b, n, c)
+
+        out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic)
+        return out, attn_weights
+
+
+class ViTBlock(nn.Module):
+    """Pre-norm transformer block (reference vit_block.py:233-254)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path_rate: float = 0.0
+    layer_norm_eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        deterministic: bool = True,
+        return_attn: bool = False,
+    ):
+        dim = x.shape[-1]
+        y = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm1")(x)
+        y, attn = Attention(
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale,
+            attn_drop=self.attn_drop,
+            proj_drop=self.drop,
+            dtype=self.dtype,
+            name="attn",
+        )(y, deterministic, return_attn)
+        x = x + DropPath(self.drop_path_rate)(y, deterministic)
+
+        y = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm2")(x)
+        y = Mlp(
+            hidden_dim=int(dim * self.mlp_ratio),
+            dropout=self.drop,
+            dtype=self.dtype,
+            name="mlp",
+        )(y, deterministic)
+        x = x + DropPath(self.drop_path_rate)(y, deterministic)
+
+        if return_attn:
+            return x, attn
+        return x
+
+
+class PatchEmbed(nn.Module):
+    """Conv patch embedding with LayerNorm + GELU.
+
+    Parity with reference vit_block.py:44-68 (the non-standard LN+GELU after
+    the strided conv); set ``use_norm_act=False`` for the plain ECDP/MEM
+    variants (vit_block.py:70-116).
+    """
+
+    patch_size: int
+    embed_dim: int
+    use_norm_act: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # x: (B, H, W, C) -> (B, H/p, W/p, embed_dim)
+        x = nn.Conv(
+            self.embed_dim,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+            name="proj",
+        )(x)
+        if self.use_norm_act:
+            x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+            x = nn.gelu(x, approximate=False)
+        return x
+
+
+def sincos_pos_embed_init(grid_size: int, embed_dim: int, cls_token: bool = False):
+    """Initializer closure producing the fixed 2-D sincos table."""
+    from eventpretrain_tpu.ops.pos_embed import get_2d_sincos_pos_embed
+
+    def init(key, shape, dtype=jnp.float32):
+        del key
+        table = get_2d_sincos_pos_embed(embed_dim, grid_size, cls_token)
+        return jnp.asarray(table, dtype).reshape(shape)
+
+    return init
+
+
+class ProjectorMlp(nn.Module):
+    """SimCLR/MoCo-v3 style projector/predictor over tokens.
+
+    Parity with reference model/sub_module/mlp_head.py:4-23 (_build_mlp_2d):
+    bias-free Linears with BatchNorm+ReLU between layers and an affine-free
+    BatchNorm at the end. The reference's BatchNorm2d over (B, h, w) per
+    channel is exactly BatchNorm over (B, L) of token tensors, so no reshape
+    dance (reference pr_hub_model.py:223-238) is needed. Under global-view
+    jit the batch statistics are computed over the *global* batch (sync-BN);
+    the reference uses per-GPU stats — a documented deviation that only makes
+    the statistics less noisy.
+    """
+
+    num_layers: int
+    mlp_dim: int
+    out_dim: int
+    last_bn: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        # x: (B, L, C); BN normalizes over (B, L) per feature.
+        for layer in range(self.num_layers):
+            dim2 = self.out_dim if layer == self.num_layers - 1 else self.mlp_dim
+            x = nn.Dense(dim2, use_bias=False, dtype=self.dtype, name=f"fc{layer}")(x)
+            if layer < self.num_layers - 1:
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    axis=-1,
+                    axis_name=None,
+                    dtype=self.dtype,
+                    name=f"bn{layer}",
+                )(x.reshape(-1, x.shape[-1])).reshape(x.shape)
+                x = nn.relu(x)
+            elif self.last_bn:
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    use_bias=False,
+                    use_scale=False,
+                    axis=-1,
+                    dtype=self.dtype,
+                    name=f"bn{layer}",
+                )(x.reshape(-1, x.shape[-1])).reshape(x.shape)
+        return x
