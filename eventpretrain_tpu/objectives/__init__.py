@@ -1,0 +1,6 @@
+from eventpretrain_tpu.objectives.rec import reconstruct_loss
+from eventpretrain_tpu.objectives.contrastive import (
+    init_queue,
+    token_infonce_queue,
+    global_token_infonce,
+)
