@@ -1,0 +1,50 @@
+"""Device-mesh data parallelism (global-view jit over a sharded batch).
+
+TPU-native replacement for the reference's DDP plumbing (DistributedDataParallel
++ DistributedSampler + mp.spawn + NCCL process groups, reference
+main_pretrain.py:319, main_finetune_cls_ddp.py:187-196,488, utils/misc.py:239-271):
+
+- one ``Mesh(('data',))`` over all chips (multi-host via
+  ``jax.distributed.initialize`` before mesh creation — the JAX runtime owns
+  process-group setup);
+- parameters/optimizer state replicated, batches sharded on 'data';
+- jitting the global-view step makes XLA insert the gradient psums /
+  contrastive-key all-gathers over ICI automatically — there is no
+  ``concat_all_gather`` or ``all_reduce_mean`` to call (reference
+  pr_hub_model.py:248-259, utils/misc.py:406-414 dissolve into the
+  partitioner).
+
+The mesh axis layout reserves room for future 'model' axes (TP) but the
+reference workload (<= ViT-B, 196 tokens) needs only DP — see SURVEY §2.1.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None, axis: str = "data"
+) -> Mesh:
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis,))
+
+
+def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_batch(mesh: Mesh, batch: Any, axis: str = "data") -> Any:
+    """Place a host batch pytree with the leading dim sharded over the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    """Replicate a pytree (params / optimizer state) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

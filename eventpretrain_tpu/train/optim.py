@@ -1,0 +1,201 @@
+"""Optimizers: AdamW with layer-wise lr decay, cosine warmup, freeze masks.
+
+TPU-native equivalents of reference utils/lr_sched.py:3-16 (per-iteration
+half-cosine warmup schedule), utils/lr_decay.py:16-106 (BEiT-style layer-wise
+lr decay param groups, incl. the 3-scale "layer-grafted" mode), the torch
+AdamW coupling (update = lr * lr_scale * (adam + wd * p)), and the stage-2
+backbone freeze (main_pretrain.py:281-284: every backbone param except
+``norm_layer`` frozen).
+
+Param-group machinery becomes pytrees-of-scalars: one pytree of per-param lr
+scales and one boolean weight-decay mask, applied inside a single optax chain
+(no Python param groups; everything jits).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def cosine_warmup_schedule(
+    base_lr: float,
+    min_lr: float,
+    warmup_epochs: float,
+    total_epochs: float,
+    steps_per_epoch: int,
+) -> Callable[[jax.Array], jax.Array]:
+    """Per-step schedule equal to reference adjust_learning_rate called with
+    fractional epoch ``epoch + it/len(loader)`` (lr_sched.py:3-16)."""
+
+    def schedule(step):
+        epoch = step / steps_per_epoch
+        warm = base_lr * epoch / max(warmup_epochs, 1e-8)
+        progress = (epoch - warmup_epochs) / max(
+            total_epochs - warmup_epochs, 1e-8
+        )
+        cos = min_lr + (base_lr - min_lr) * 0.5 * (
+            1.0 + jnp.cos(math.pi * progress)
+        )
+        return jnp.where(epoch < warmup_epochs, warm, cos)
+
+    return schedule
+
+
+def _path_names(path) -> list[str]:
+    return [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+
+
+def vit_layer_id(
+    names: list[str],
+    num_layers: int,
+    backbone_type: str = "vit",
+    layer_grafted: bool = False,
+) -> int:
+    """Layer id for a flax param path (reference lr_decay.py:77-106).
+
+    Flax paths look like ('backbone', 'vit_block_3', 'attn', 'qkv', 'kernel');
+    the torch names were 'backbone.vit_block.3.attn.qkv.weight'.
+    """
+    if not names or names[0] != "backbone":
+        # decoder / heads / projections: top scale
+        return 2 if layer_grafted else num_layers
+    sub = names[1] if len(names) > 1 else ""
+    if layer_grafted:
+        if sub.startswith(("patch_embed", "pos_embed", "conv_block")):
+            return 0
+        if sub.startswith("vit_block_"):
+            block_id = int(sub.rsplit("_", 1)[1])
+            return min(block_id // 4, 2)
+        return 2
+    if sub.startswith(("patch_embed", "pos_embed")):
+        return 0
+    if sub.startswith("vit_block_"):
+        block_id = int(sub.rsplit("_", 1)[1])
+        if backbone_type == "convvit":
+            return block_id + 3
+        return block_id + 1
+    if sub.startswith("conv_block1"):
+        return 1
+    if sub.startswith("conv_block2"):
+        return 2
+    return num_layers
+
+
+def layer_scale_tree(
+    params: Any,
+    num_layers: int,
+    layer_decay: float = 0.75,
+    backbone_type: str = "vit",
+    layer_grafted: bool = False,
+) -> Any:
+    """Pytree of per-param lr scales (reference lr_decay.py:34-37)."""
+    if layer_grafted:
+        scales = [0.01, 0.1, 1.0]
+    else:
+        scales = [
+            layer_decay ** (num_layers - i) for i in range(num_layers + 1)
+        ]
+
+    def scale_for(path, leaf):
+        lid = vit_layer_id(
+            _path_names(path), num_layers, backbone_type, layer_grafted
+        )
+        return scales[lid]
+
+    return jax.tree_util.tree_map_with_path(scale_for, params)
+
+
+def weight_decay_mask(params: Any) -> Any:
+    """True where weight decay applies: all >=2-D params (lr_decay.py:44-49)."""
+    return jax.tree.map(lambda p: jnp.ndim(p) >= 2, params)
+
+
+def frozen_except_norm_mask(params: Any) -> Any:
+    """Stage-2 ("adj") trainability mask: True = trainable.
+
+    Reference main_pretrain.py:281-284: backbone params frozen unless their
+    name contains ``norm_layer``; non-backbone params stay trainable.
+    """
+
+    def trainable(path, leaf):
+        names = _path_names(path)
+        if names and names[0] == "backbone":
+            return any("norm_layer" in n for n in names)
+        return True
+
+    return jax.tree_util.tree_map_with_path(trainable, params)
+
+
+def _scale_by_tree(scales: Any) -> optax.GradientTransformation:
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        return jax.tree.map(lambda u, s: u * s, updates, scales), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def build_optimizer(
+    params: Any,
+    *,
+    learning_rate: float | Callable,
+    weight_decay: float = 0.05,
+    betas: tuple[float, float] = (0.9, 0.95),
+    layer_decay: float = 1.0,
+    num_layers: int = 12,
+    backbone_type: str = "vit",
+    layer_grafted: bool = False,
+    clip_grad: Optional[float] = None,
+    trainable_mask: Optional[Any] = None,
+    accum_steps: int = 1,
+) -> optax.GradientTransformation:
+    """AdamW with torch-coupled wd/lr-scale semantics.
+
+    update = -lr * lr_scale(param) * (adam(g) + wd * p) on trainable params;
+    frozen params (trainable_mask False) get zero updates. ``clip_grad``
+    applies global-norm clipping before Adam (reference misc.py:274-300).
+    ``accum_steps > 1`` wraps in optax.MultiSteps (reference accum_iter).
+    """
+    chain = []
+    if clip_grad is not None:
+        chain.append(optax.clip_by_global_norm(clip_grad))
+    chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=1e-8))
+    if weight_decay:
+        chain.append(
+            optax.add_decayed_weights(weight_decay, mask=weight_decay_mask(params))
+        )
+    if layer_decay != 1.0 or layer_grafted:
+        chain.append(
+            _scale_by_tree(
+                layer_scale_tree(
+                    params, num_layers, layer_decay, backbone_type, layer_grafted
+                )
+            )
+        )
+    chain.append(optax.scale_by_learning_rate(learning_rate))
+    tx = optax.chain(*chain)
+
+    if trainable_mask is not None:
+        tx = optax.chain(
+            tx,
+            optax.masked(
+                optax.set_to_zero(),
+                jax.tree.map(lambda t: not t, trainable_mask),
+            ),
+        )
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+    return tx
+
+
+def global_grad_norm(grads: Any) -> jax.Array:
+    """Grad-norm metric (reference misc.py:303-315)."""
+    return optax.global_norm(grads)

@@ -1,0 +1,230 @@
+"""Train-stack tests: optimizer semantics, sharded steps, loss decreases."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from eventpretrain_tpu.models.pretrain_hub import PrHub
+from eventpretrain_tpu.models.vit import ViT
+from eventpretrain_tpu.models.decoder import RecDecoder
+from eventpretrain_tpu.train import (
+    cosine_warmup_schedule,
+    build_optimizer,
+    layer_scale_tree,
+    weight_decay_mask,
+    frozen_except_norm_mask,
+    TrainState,
+)
+from eventpretrain_tpu.train.steps import make_rec_step, make_con_step
+from eventpretrain_tpu.parallel import make_mesh, shard_batch, replicate
+
+
+def tiny_hub(with_decoder=True):
+    backbone = ViT(
+        input_size=32, patch_size=8, embed_dim=48, depth=4, num_heads=4,
+        num_bins=5, out_indices=(1, 3), name="backbone",
+    )
+    decoder = (
+        RecDecoder(
+            patch_size=8, num_patches=16, embed_dim=32, depth=2, num_heads=4,
+            frame_chans=1, name="pretrain_rec_decoder",
+        )
+        if with_decoder
+        else None
+    )
+    return PrHub(
+        backbone=backbone, decoder=decoder, embed_dim=48, num_patches=16,
+        mlp_dim=64, clip_emb_dim=24,
+    )
+
+
+class TestSchedule:
+    def test_warmup_then_cosine(self):
+        sched = cosine_warmup_schedule(1e-3, 1e-5, 5, 100, 10)
+        assert float(sched(0)) == 0.0
+        np.testing.assert_allclose(float(sched(25)), 1e-3 * 2.5 / 5)
+        np.testing.assert_allclose(float(sched(50)), 1e-3, rtol=1e-6)
+        # end of schedule hits min_lr
+        np.testing.assert_allclose(float(sched(1000)), 1e-5, rtol=1e-4)
+        # midpoint of cosine
+        np.testing.assert_allclose(
+            float(sched((5 + (100 - 5) / 2) * 10)),
+            1e-5 + (1e-3 - 1e-5) * 0.5,
+            rtol=1e-5,
+        )
+
+
+class TestLayerDecay:
+    def test_scales_by_depth(self):
+        params = {
+            "backbone": {
+                "patch_embed": {"proj": {"kernel": jnp.ones((2, 2))}},
+                "vit_block_0": {"attn": {"qkv": {"kernel": jnp.ones((2, 2))}}},
+                "vit_block_3": {"attn": {"qkv": {"kernel": jnp.ones((2, 2))}}},
+                "norm_layer": {"scale": jnp.ones((2,))},
+            },
+            "head": {"kernel": jnp.ones((2, 2))},
+        }
+        scales = layer_scale_tree(params, num_layers=4, layer_decay=0.5)
+        assert scales["backbone"]["patch_embed"]["proj"]["kernel"] == 0.5 ** 4
+        assert scales["backbone"]["vit_block_0"]["attn"]["qkv"]["kernel"] == 0.5 ** 3
+        assert scales["backbone"]["vit_block_3"]["attn"]["qkv"]["kernel"] == 0.5 ** 0
+        assert scales["head"]["kernel"] == 1.0
+        grafted = layer_scale_tree(params, 4, layer_grafted=True)
+        assert grafted["backbone"]["vit_block_0"]["attn"]["qkv"]["kernel"] == 0.01
+        assert grafted["head"]["kernel"] == 1.0
+
+    def test_weight_decay_mask(self):
+        params = {"w": jnp.ones((2, 2)), "b": jnp.ones((2,))}
+        mask = weight_decay_mask(params)
+        assert bool(mask["w"]) and not bool(mask["b"])
+
+    def test_frozen_except_norm(self):
+        params = {
+            "backbone": {
+                "vit_block_0": {"norm1": {"scale": jnp.ones(2)}},
+                "norm_layer": {"scale": jnp.ones(2)},
+            },
+            "emb_h_proj": {"fc0": {"kernel": jnp.ones((2, 2))}},
+        }
+        mask = frozen_except_norm_mask(params)
+        assert not mask["backbone"]["vit_block_0"]["norm1"]["scale"]
+        assert mask["backbone"]["norm_layer"]["scale"]
+        assert mask["emb_h_proj"]["fc0"]["kernel"]
+
+    def test_frozen_params_do_not_move(self):
+        params = {
+            "backbone": {"vit_block_0": {"w": jnp.ones((2, 2))}},
+            "head": {"w": jnp.ones((2, 2))},
+        }
+        tx = build_optimizer(
+            params,
+            learning_rate=0.1,
+            weight_decay=0.0,
+            trainable_mask=frozen_except_norm_mask(params),
+        )
+        opt_state = tx.init(params)
+        grads = jax.tree.map(jnp.ones_like, params)
+        updates, _ = tx.update(grads, opt_state, params)
+        assert float(jnp.abs(updates["backbone"]["vit_block_0"]["w"]).sum()) == 0
+        assert float(jnp.abs(updates["head"]["w"]).sum()) > 0
+
+
+class TestRecStep:
+    def _setup(self):
+        hub = tiny_hub()
+        rng = np.random.default_rng(0)
+        evg = jnp.asarray(rng.normal(size=(8, 32, 32, 5)), jnp.float32)
+        frame = jnp.asarray(rng.normal(size=(8, 32, 32, 1)), jnp.float32)
+        variables = hub.init(
+            jax.random.key(0),
+            evg,
+            jnp.arange(4)[None].repeat(8, 0),
+            jnp.arange(16)[None].repeat(8, 0),
+            method=hub.forward_rec,
+        )
+        tx = build_optimizer(
+            variables["params"], learning_rate=1e-3, num_layers=4
+        )
+        state = TrainState.create(
+            apply_fn=hub.apply, params=variables["params"], tx=tx
+        )
+        step = make_rec_step(
+            hub, patch_size=8, num_patches=16, mask_ratio=0.75
+        )
+        return step, state, {"evg": evg, "frame": frame}
+
+    def test_loss_decreases(self):
+        step, state, batch = self._setup()
+        key = jax.random.key(0)
+        first = None
+        for i in range(20):
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, batch, sub)
+            if first is None:
+                first = float(metrics["loss"])
+        assert float(metrics["loss"]) < first
+        assert int(state.step) == 20
+
+    def test_sharded_step_runs(self, devices):
+        step, state, batch = self._setup()
+        mesh = make_mesh(devices)
+        state = replicate(mesh, state)
+        batch = shard_batch(mesh, batch)
+        state, metrics = step(state, batch, jax.random.key(1))
+        assert bool(jnp.isfinite(metrics["loss"]))
+        # params remain replicated after the update
+        p = jax.tree.leaves(state.params)[0]
+        assert p.sharding.is_fully_replicated
+
+
+class TestConStep:
+    def test_queue_and_global_modes(self):
+        hub = tiny_hub(with_decoder=False)
+        rng = np.random.default_rng(0)
+        evg = jnp.asarray(rng.normal(size=(4, 32, 32, 5)), jnp.float32)
+        clip_emb = jnp.asarray(rng.normal(size=(4, 17, 24)), jnp.float32)
+        variables = hub.init(
+            jax.random.key(0), evg, clip_emb, method=hub.forward_con
+        )
+        from eventpretrain_tpu.objectives import init_queue
+
+        for use_queue in (False, True):
+            tx = build_optimizer(
+                variables["params"], learning_rate=1e-3, num_layers=4
+            )
+            queue = (
+                init_queue(jax.random.key(1), 48, 16, 16) if use_queue else None
+            )
+            state = TrainState.create(
+                apply_fn=hub.apply,
+                params=variables["params"],
+                batch_stats=variables["batch_stats"],
+                tx=tx,
+                queue=queue,
+            )
+            step = make_con_step(hub, use_queue=use_queue)
+            batch = {"evg": evg, "clip_emb": clip_emb}
+            key = jax.random.key(2)
+            losses = []
+            for _ in range(5):
+                key, sub = jax.random.split(key)
+                state, metrics = step(state, batch, sub)
+                losses.append(float(metrics["loss"]))
+            assert all(np.isfinite(losses))
+            if use_queue:
+                assert int(state.queue.ptr) == (5 * 4) % 16
+
+    def test_stage2_freeze_only_norms_move(self):
+        hub = tiny_hub(with_decoder=False)
+        rng = np.random.default_rng(0)
+        evg = jnp.asarray(rng.normal(size=(4, 32, 32, 5)), jnp.float32)
+        clip_emb = jnp.asarray(rng.normal(size=(4, 17, 24)), jnp.float32)
+        variables = hub.init(
+            jax.random.key(0), evg, clip_emb, method=hub.forward_con
+        )
+        params0 = variables["params"]
+        tx = build_optimizer(
+            params0,
+            learning_rate=1e-2,
+            num_layers=4,
+            trainable_mask=frozen_except_norm_mask(params0),
+        )
+        state = TrainState.create(
+            apply_fn=hub.apply, params=params0,
+            batch_stats=variables["batch_stats"], tx=tx,
+        )
+        step = make_con_step(hub, use_queue=False)
+        state, _ = step(state, {"evg": evg, "clip_emb": clip_emb}, jax.random.key(3))
+        # backbone block weights frozen; backbone final norm + heads move
+        w0 = params0["backbone"]["vit_block_0"]["attn"]["qkv"]["kernel"]
+        w1 = state.params["backbone"]["vit_block_0"]["attn"]["qkv"]["kernel"]
+        np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
+        n0 = params0["backbone"]["norm_layer"]["scale"]
+        n1 = state.params["backbone"]["norm_layer"]["scale"]
+        assert not np.allclose(np.asarray(n0), np.asarray(n1))
+        h0 = params0["emb_h_proj"]["fc0"]["kernel"]
+        h1 = state.params["emb_h_proj"]["fc0"]["kernel"]
+        assert not np.allclose(np.asarray(h0), np.asarray(h1))
