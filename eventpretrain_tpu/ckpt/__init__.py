@@ -1,0 +1,1 @@
+from eventpretrain_tpu.ckpt.orbax_io import save_checkpoint, restore_checkpoint, latest_step

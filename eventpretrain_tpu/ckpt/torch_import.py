@@ -1,0 +1,204 @@
+"""PyTorch -> flax checkpoint importer for released EventPretrain weights.
+
+Covers the reference's checkpoint-surgery dialects (main_finetune_cls.py:
+326-381, main_pretrain.py:264-279):
+
+  * 'native' : EventPretrain's own keys (also maps finetune_encoder./
+               pretrain_encoder. prefixes to backbone.)
+  * 'ecdp'   : ['checkpoint'], drop encoder_k.*, encoder_q.* -> backbone.*,
+               blocks -> vit_block, norm -> norm_layer
+  * 'mem'    : ['model'], prefix backbone., blocks -> vit_block,
+               norm -> norm_layer, shared rel_pos_bias table replicated into
+               every block (main_finetune_cls.py:358-361)
+  * 'ecddp'  : ['model'], strip student. prefix
+
+Tensor layout conversion torch -> flax:
+  Linear weight (O, I)        -> kernel (I, O)
+  Conv2d weight (O, I, kh, kw)-> kernel (kh, kw, I, O)
+  LayerNorm/BatchNorm weight  -> scale
+The fixed sincos pos_embed buffers are skipped (recomputed at build time).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def load_torch_state_dict(path: str, dialect: str = "auto") -> dict:
+    """Load a torch checkpoint file into a {torch_key: np.ndarray} dict."""
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    if dialect == "auto":
+        if isinstance(raw, dict) and "checkpoint" in raw:
+            dialect = "ecdp"
+        elif isinstance(raw, dict) and "model" in raw:
+            sd = raw["model"]
+            if any(k.startswith("student.") for k in sd):
+                dialect = "ecddp"
+            elif any(k.startswith("rel_pos_bias.") for k in sd) or any(
+                "rel_pos_bias" in k for k in sd
+            ):
+                dialect = "mem"
+            else:
+                dialect = "native"
+        else:
+            dialect = "native"
+
+    if dialect == "ecdp":
+        sd = dict(raw["checkpoint"])
+        sd = {k: v for k, v in sd.items() if not k.startswith("encoder_k.")}
+        sd = {
+            ("backbone." + k[len("encoder_q."):] if k.startswith("encoder_q.") else k): v
+            for k, v in sd.items()
+        }
+    elif dialect in ("mem", "ecddp", "native"):
+        sd = dict(raw.get("model", raw))
+        if dialect == "mem":
+            sd = {"backbone." + k: v for k, v in sd.items()}
+        if dialect == "ecddp":
+            sd = {
+                (k[len("student."):] if k.startswith("student.") else k): v
+                for k, v in sd.items()
+            }
+    else:
+        raise ValueError(dialect)
+
+    # common renames (main_finetune_cls.py:336-343,349-356,371-378)
+    renamed = {}
+    for k, v in sd.items():
+        k = re.sub(r"^finetune_encoder\.", "backbone.", k)
+        k = re.sub(r"^pretrain_encoder\.", "backbone.", k)
+        k = re.sub(r"^backbone\.blocks\.", "backbone.vit_block.", k)
+        k = re.sub(r"^backbone\.norm\.", "backbone.norm_layer.", k)
+        renamed[k] = v
+
+    # MEM: replicate the shared relative-position-bias table into every block
+    shared = renamed.get("backbone.rel_pos_bias.relative_position_bias_table")
+    if shared is not None:
+        for i in range(12):
+            renamed[
+                f"backbone.vit_block.{i}.attn.relative_position_bias_table"
+            ] = shared
+
+    return {
+        k: np.asarray(v.detach().numpy() if hasattr(v, "detach") else v)
+        for k, v in renamed.items()
+    }
+
+
+_PROJECTOR_SEQ = {  # flax layer name -> torch nn.Sequential index offset
+    "fc": lambda i: 3 * i,
+    "bn": lambda i: 3 * i + 1,
+}
+
+
+def _flax_path_to_torch_key(path: list[str]) -> tuple[str, str]:
+    """(torch key, kind) for a flax param path; kind in {linear, conv, norm,
+    plain}."""
+    parts = []
+    kind = "plain"
+    leaf = path[-1]
+    for name in path[:-1]:
+        m = re.fullmatch(r"(vit_block|conv_block1|conv_block2)_(\d+)", name)
+        if m:
+            parts.append(f"{m.group(1)}.{m.group(2)}")
+            continue
+        m = re.fullmatch(r"(fc|bn)(\d+)", name)
+        if m and parts and parts[-1] in ("emb_h_proj", "emb_h_pred"):
+            parts.append(str(_PROJECTOR_SEQ[m.group(1)](int(m.group(2)))))
+            continue
+        parts.append(name)
+
+    if leaf == "kernel":
+        kind = "linear"  # conv detected by ndim at conversion time
+        torch_leaf = "weight"
+    elif leaf == "scale":
+        kind = "norm"
+        torch_leaf = "weight"
+    elif leaf in ("mean", "var"):  # flax BatchNorm batch_stats
+        torch_leaf = {"mean": "running_mean", "var": "running_var"}[leaf]
+    else:
+        torch_leaf = leaf
+    return ".".join(parts + [torch_leaf]), kind
+
+
+def _convert(value: np.ndarray, target_shape: tuple, kind: str) -> np.ndarray:
+    if kind == "linear" and value.ndim == 2:
+        value = value.T
+    elif kind == "linear" and value.ndim == 4:
+        value = value.transpose(2, 3, 1, 0)
+    if value.shape != tuple(target_shape):
+        raise ValueError(
+            f"shape mismatch: torch {value.shape} vs flax {tuple(target_shape)}"
+        )
+    return value
+
+
+_SKIP_SUBSTRINGS = ("pos_embed", "relative_position_index")
+
+
+def import_torch_params(
+    state_dict: dict,
+    params: Any,
+    *,
+    prefix: str = "",
+    strict: bool = False,
+    verbose: bool = True,
+) -> tuple[Any, list[str], list[str]]:
+    """Fill a flax param pytree from a torch state dict.
+
+    Returns (new_params, missing_keys, unused_torch_keys). Like the
+    reference's ``load_state_dict(strict=False)`` (main_finetune_cls.py:380),
+    params without a torch counterpart keep their init (e.g. a fresh
+    classify head).
+    """
+    import jax
+
+    used = set()
+    missing: list[str] = []
+
+    def fill(path, leaf):
+        names = [getattr(p, "key", str(p)) for p in path]
+        torch_key, kind = _flax_path_to_torch_key(names)
+        torch_key = prefix + torch_key
+        if any(s in torch_key for s in _SKIP_SUBSTRINGS):
+            return leaf
+        if torch_key in state_dict:
+            used.add(torch_key)
+            return jnp.asarray(
+                _convert(state_dict[torch_key], leaf.shape, kind),
+                dtype=leaf.dtype,
+            )
+        missing.append(torch_key)
+        return leaf
+
+    new_params = jax.tree_util.tree_map_with_path(fill, params)
+    unused = [
+        k for k in state_dict
+        if k not in used and not any(s in k for s in _SKIP_SUBSTRINGS)
+    ]
+    if verbose:
+        if missing:
+            print(f"[torch_import] {len(missing)} params kept their init "
+                  f"(e.g. {missing[:4]})")
+        if unused:
+            print(f"[torch_import] {len(unused)} torch keys unused "
+                  f"(e.g. {unused[:4]})")
+    if strict and (missing or unused):
+        raise KeyError(f"missing={missing}, unused={unused}")
+    return new_params, missing, unused
+
+
+def load_torch_backbone_if_needed(path: str, params: Any) -> Any:
+    """CLI convenience: .pth/.pt files go through the importer; anything else
+    is assumed to be an Orbax checkpoint handled elsewhere."""
+    if path.endswith((".pth", ".pt", ".bin")):
+        sd = load_torch_state_dict(path)
+        new_params, _, _ = import_torch_params(sd, params)
+        return new_params
+    return params

@@ -1,0 +1,211 @@
+"""Classification finetune entry point.
+
+Typed-config replacement for reference main_finetune_cls.py / _ddp.py (the
+DDP split disappears: one process drives the whole mesh). Run:
+
+  python -m eventpretrain_tpu.cli.finetune_cls --dataset synthetic \\
+      --backbone vit --model_size small --epochs 2
+
+Real datasets expect the reference's on-disk layouts (e.g. N-Cars:
+root/<class>/*.npy, reference ft_n_cars_dataset.py:15-52).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eventpretrain_tpu.data.cls_pipeline import (
+    ClsDataConfig,
+    ClsPipeline,
+    NCarsSource,
+    SyntheticClsSource,
+)
+from eventpretrain_tpu.models.cls_hub import (
+    cls_hub_vit_small,
+    cls_hub_vit_base,
+)
+from eventpretrain_tpu.train import (
+    build_optimizer,
+    cosine_warmup_schedule,
+    TrainState,
+)
+from eventpretrain_tpu.train.steps import (
+    make_cls_train_step,
+    make_cls_eval_step,
+)
+from eventpretrain_tpu.train.loop import train_one_epoch, evaluate
+from eventpretrain_tpu.ckpt import save_checkpoint, restore_checkpoint
+from eventpretrain_tpu.ckpt.torch_import import load_torch_backbone_if_needed
+from eventpretrain_tpu.utils.logging import append_log_line
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("finetune_cls")
+    p.add_argument("--dataset", default="synthetic",
+                   choices=["synthetic", "n_cars", "n_caltech101",
+                            "cifar10_dvs", "dvs128_gesture"])
+    p.add_argument("--train_root", default=None)
+    p.add_argument("--val_root", default=None)
+    p.add_argument("--num_classes", type=int, default=2)
+    p.add_argument("--backbone", default="vit", choices=["vit"])
+    p.add_argument("--model_size", default="small", choices=["small", "base"])
+    p.add_argument("--num_bins", type=int, default=5)
+    p.add_argument("--input_size", type=int, default=224)
+    p.add_argument("--fix_events_num", type=int, default=30000)
+    p.add_argument("--val_fix_events_num", type=int, default=30000)
+    p.add_argument("--canvas", type=int, nargs=2, default=(128, 128),
+                   metavar=("H", "W"))
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--warmup_epochs", type=float, default=5)
+    p.add_argument("--blr", type=float, default=2.5e-4)
+    p.add_argument("--min_lr", type=float, default=1e-6)
+    p.add_argument("--weight_decay", type=float, default=0.05)
+    p.add_argument("--layer_decay", type=float, default=0.75)
+    p.add_argument("--use_layer_decay", action="store_true")
+    p.add_argument("--clip_grad", type=float, default=5.0)
+    p.add_argument("--smoothing", type=float, default=0.1)
+    p.add_argument("--accum_iter", type=int, default=1)
+    p.add_argument("--drop_path_rate", type=float, default=0.1)
+    p.add_argument("--linprob", action="store_true",
+                   help="freeze all but the classify head")
+    p.add_argument("--finetune", default=None,
+                   help="checkpoint to initialize the backbone from "
+                        "(.pth torch checkpoints are converted on load)")
+    p.add_argument("--resume", default=None)
+    p.add_argument("--output_dir", default="./results/finetune_cls")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    p.add_argument("--print_freq", type=int, default=20)
+    p.add_argument("--val_event_noise", action="store_true")
+    return p
+
+
+def make_sources(args):
+    if args.dataset == "synthetic":
+        train = SyntheticClsSource(args.num_classes, 64, seed=args.seed)
+        val = SyntheticClsSource(args.num_classes, 16, seed=args.seed + 1000)
+        return train, val
+    if args.dataset in ("n_cars", "n_caltech101", "cifar10_dvs",
+                        "dvs128_gesture"):
+        assert args.train_root and args.val_root, (
+            f"--train_root/--val_root required for {args.dataset}"
+        )
+        return NCarsSource(args.train_root), NCarsSource(args.val_root)
+    raise ValueError(args.dataset)
+
+
+def main(args=None):
+    args = build_parser().parse_args(args)
+    np.random.seed(args.seed)
+
+    train_src, val_src = make_sources(args)
+    cfg = ClsDataConfig(
+        num_classes=args.num_classes,
+        num_bins=args.num_bins,
+        input_size=args.input_size,
+        fix_events_num=args.fix_events_num,
+        val_fix_events_num=args.val_fix_events_num,
+        canvas_height=args.canvas[0],
+        canvas_width=args.canvas[1],
+        event_noise=args.val_event_noise,
+    )
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    factory = {
+        ("vit", "small"): cls_hub_vit_small,
+        ("vit", "base"): cls_hub_vit_base,
+    }[(args.backbone, args.model_size)]
+    hub = factory(
+        num_classes=args.num_classes,
+        num_bins=args.num_bins,
+        dtype=dtype,
+        input_size=args.input_size,
+        drop_path_rate=args.drop_path_rate,
+    )
+    variables = hub.init(
+        jax.random.key(args.seed),
+        jnp.zeros((1, args.input_size, args.input_size,
+                   {2: 2, 3: 3}.get(args.num_bins, args.num_bins))),
+    )
+    params = variables["params"]
+    if args.finetune:
+        params = load_torch_backbone_if_needed(args.finetune, params)
+
+    steps_per_epoch = max(len(train_src) // args.batch_size, 1)
+    eff_batch = args.batch_size * args.accum_iter
+    lr = args.blr * eff_batch / 256
+    schedule = cosine_warmup_schedule(
+        lr, args.min_lr, args.warmup_epochs, args.epochs, steps_per_epoch
+    )
+    trainable_mask = None
+    if args.linprob:
+        trainable_mask = jax.tree_util.tree_map_with_path(
+            lambda path, _: any(
+                getattr(p, "key", "") == "classify_head" for p in path
+            ),
+            params,
+        )
+    tx = build_optimizer(
+        params,
+        learning_rate=schedule,
+        weight_decay=args.weight_decay,
+        betas=(0.9, 0.999),
+        layer_decay=args.layer_decay if args.use_layer_decay else 1.0,
+        num_layers=12,
+        backbone_type=args.backbone,
+        clip_grad=args.clip_grad,
+        trainable_mask=trainable_mask,
+        accum_steps=args.accum_iter,
+    )
+    state = TrainState.create(apply_fn=hub.apply, params=params, tx=tx)
+    if args.resume:
+        state = restore_checkpoint(args.resume, state)
+        print(f"resumed from {args.resume} at step {int(state.step)}")
+
+    train_step = make_cls_train_step(hub, smoothing=args.smoothing)
+    eval_step = make_cls_eval_step(hub)
+
+    best_acc = 0.0
+    key = jax.random.key(args.seed)
+    start_epoch = int(state.step) // steps_per_epoch
+    for epoch in range(start_epoch, args.epochs):
+        t0 = time.time()
+        pipe = ClsPipeline(
+            train_src, cfg, args.batch_size, train=True,
+            seed=args.seed + epoch,
+        )
+        state, train_metrics = train_one_epoch(
+            step=train_step, state=state, pipeline=pipe,
+            rng_key=jax.random.fold_in(key, epoch), epoch=epoch,
+            print_freq=args.print_freq,
+        )
+        val_pipe = ClsPipeline(
+            val_src, cfg, args.batch_size, train=False, seed=args.seed
+        )
+        val_metrics = evaluate(eval_step, state, val_pipe)
+        record = {
+            "epoch": epoch,
+            **{f"train_{k}": v for k, v in train_metrics.items()},
+            **{f"val_{k}": v for k, v in val_metrics.items()},
+            "epoch_time_s": round(time.time() - t0, 2),
+        }
+        append_log_line(args.output_dir, record)
+        print(f"epoch {epoch}: val acc1 {val_metrics.get('acc1', 0):.2f}")
+        save_checkpoint(args.output_dir, state)
+        if val_metrics.get("acc1", 0) > best_acc:
+            best_acc = val_metrics["acc1"]
+            save_checkpoint(args.output_dir, state, name="best")
+    print(f"best val acc1: {best_acc:.2f}")
+    return best_acc
+
+
+if __name__ == "__main__":
+    main()

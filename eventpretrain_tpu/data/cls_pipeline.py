@@ -1,0 +1,263 @@
+"""Classification input pipeline: host windowing -> device rasterize+augment.
+
+TPU-native redesign of the reference's DataLoader-worker hot path (reference
+dataset/finetune_cls/ft_n_cars_dataset.py:54-107 and siblings): the host only
+decodes files, picks the fixed-count window, applies the (cheap, variable
+-length) event-stream augmentation and pads; rasterization, view augmentation
+and normalization run as ONE jitted batched program on device
+(see data/representations.py, ops/view_augment.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Iterator, Optional, Protocol, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from eventpretrain_tpu.data.event_transforms import (
+    random_window,
+    erase_and_add_events,
+    add_noise_events,
+    pad_events,
+)
+from eventpretrain_tpu.data.representations import (
+    build_representation,
+    normalize_representation,
+    num_channels,
+)
+from eventpretrain_tpu.ops.view_augment import (
+    ViewParams,
+    sample_crop,
+    apply_view_augment,
+)
+
+
+class EventClsSource(Protocol):
+    """A classification dataset: indexable (events_xytp, label) pairs."""
+
+    def __len__(self) -> int: ...
+
+    def load(self, index: int) -> tuple[np.ndarray, int]: ...
+
+
+@dataclasses.dataclass(frozen=True)
+class ClsDataConfig:
+    num_classes: int
+    num_bins: int = 5
+    input_size: int = 224
+    fix_events_num: int = 30000
+    val_fix_events_num: int = 30000
+    canvas_height: int = 128        # >= dataset max sensor height
+    canvas_width: int = 128
+    resize_mode: str = "nearest"
+    crop_min: float = 0.8
+    infer_sensor_size: bool = True  # N-Cars: from event maxima (ref :64)
+    event_noise: bool = False       # robustness eval (--val_event_noise)
+    stream_augment: bool = True     # erase_and_add in training
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_bins", "height", "width", "out_size", "mode"),
+)
+def _device_preprocess(
+    events,
+    counts,
+    sensor_hw,
+    params: ViewParams,
+    *,
+    num_bins: int,
+    height: int,
+    width: int,
+    out_size: int,
+    mode: str,
+):
+    evg = build_representation(
+        events, counts, num_bins=num_bins, height=height, width=width,
+        sensor_hw=sensor_hw,
+    )
+    evg = apply_view_augment(
+        evg, params, (out_size, out_size), mode,
+        negate_on_tflip=num_bins in (5, 6),
+    )
+    return normalize_representation(evg, num_bins)
+
+
+class ClsPipeline:
+    """Iterates device-ready batches {'evg': (B,S,S,C), 'label': (B,)}."""
+
+    def __init__(
+        self,
+        source: EventClsSource,
+        cfg: ClsDataConfig,
+        batch_size: int,
+        train: bool,
+        seed: int = 0,
+        drop_last: Optional[bool] = None,
+    ):
+        self.source = source
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.train = train
+        self.rng = np.random.default_rng(seed)
+        self.drop_last = train if drop_last is None else drop_last
+
+    def __len__(self) -> int:
+        n = len(self.source)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _prepare_sample(self, index: int):
+        cfg = self.cfg
+        events, label = self.source.load(index)
+        events = np.asarray(events, np.float64)
+        cap = cfg.fix_events_num if self.train else cfg.val_fix_events_num
+        start, end = random_window(self.rng, events.shape[0], cap)
+        events = events[start:end]
+
+        if cfg.infer_sensor_size:
+            sensor_h = int(events[:, 1].max()) + 1
+            sensor_w = int(events[:, 0].max()) + 1
+        else:
+            sensor_h, sensor_w = cfg.canvas_height, cfg.canvas_width
+        sensor_h = min(sensor_h, cfg.canvas_height)
+        sensor_w = min(sensor_w, cfg.canvas_width)
+
+        if (self.train and cfg.stream_augment) or (
+            not self.train and cfg.event_noise
+        ):
+            events = erase_and_add_events(
+                self.rng, events, (sensor_h, sensor_w)
+            )
+        arr, count = pad_events(events.astype(np.float32), cap)
+        return arr, count, (sensor_h, sensor_w), label
+
+    def _sample_view(self, sensor_hw: Sequence[tuple[int, int]]) -> ViewParams:
+        cfg = self.cfg
+        boxes, hflips, tflips = [], [], []
+        for h, w in sensor_hw:
+            if self.train:
+                boxes.append(sample_crop(self.rng, h, w, (cfg.crop_min, 1.0)))
+                hflips.append(self.rng.random() < 0.5)
+                tflips.append(self.rng.random() < 0.5)
+            else:
+                boxes.append((0, 0, h, w))
+                hflips.append(False)
+                tflips.append(False)
+        boxes = np.asarray(boxes, np.int32)
+        return ViewParams(
+            crop_y=jnp.asarray(boxes[:, 0]),
+            crop_x=jnp.asarray(boxes[:, 1]),
+            crop_h=jnp.asarray(boxes[:, 2]),
+            crop_w=jnp.asarray(boxes[:, 3]),
+            hflip=jnp.asarray(np.asarray(hflips)),
+            tflip=jnp.asarray(np.asarray(tflips)),
+        )
+
+    def __iter__(self) -> Iterator[dict]:
+        cfg = self.cfg
+        order = np.arange(len(self.source))
+        if self.train:
+            self.rng.shuffle(order)
+        bs = self.batch_size
+        num_batches = len(self)
+        for b in range(num_batches):
+            idx = order[b * bs : (b + 1) * bs]
+            if len(idx) < bs:  # pad tail batch by wrapping (eval keeps labels)
+                idx = np.concatenate([idx, order[: bs - len(idx)]])
+            evs, counts, hws, labels = [], [], [], []
+            for i in idx:
+                arr, count, hw, label = self._prepare_sample(int(i))
+                evs.append(arr)
+                counts.append(count)
+                hws.append(hw)
+                labels.append(label)
+            params = self._sample_view(hws)
+            evg = _device_preprocess(
+                jnp.asarray(np.stack(evs)),
+                jnp.asarray(np.stack(counts)),
+                jnp.asarray(np.asarray(hws, np.int32)),
+                params,
+                num_bins=cfg.num_bins,
+                height=cfg.canvas_height,
+                width=cfg.canvas_width,
+                out_size=cfg.input_size,
+                mode=cfg.resize_mode,
+            )
+            yield {
+                "evg": evg,
+                "label": jnp.asarray(np.asarray(labels, np.int32)),
+            }
+
+
+class NCarsSource:
+    """N-Cars directory layout: root/<class>/<class>_*.npy with xytp rows.
+
+    Reference dataset/finetune_cls/ft_n_cars_dataset.py:15-52.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        self.classes = sorted(os.listdir(root))
+        self.files: list[tuple[str, int]] = []
+        for label, cls in enumerate(self.classes):
+            cls_dir = os.path.join(root, cls)
+            for name in sorted(os.listdir(cls_dir)):
+                self.files.append((os.path.join(cls_dir, name), label))
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def load(self, index: int) -> tuple[np.ndarray, int]:
+        path, label = self.files[index]
+        return np.load(path), label
+
+
+class SyntheticClsSource:
+    """Synthetic event streams with flip-invariant class structure.
+
+    Class k scatters events around ``(k+1)^2`` grid-arranged blobs — a purely
+    spatial signature that survives the horizontal/time-flip augmentations —
+    so a few optimizer steps must lift accuracy above chance (the de-facto
+    smoke test the reference lacks, SURVEY §4).
+    """
+
+    def __init__(
+        self,
+        num_classes: int = 2,
+        samples_per_class: int = 32,
+        num_events: int = 3000,
+        sensor_hw: tuple[int, int] = (100, 120),
+        seed: int = 0,
+    ):
+        self.num_classes = num_classes
+        self.n = num_classes * samples_per_class
+        self.num_events = num_events
+        self.sensor_hw = sensor_hw
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.n
+
+    def load(self, index: int) -> tuple[np.ndarray, int]:
+        rng = np.random.default_rng(self.seed + index)
+        label = index % self.num_classes
+        h, w = self.sensor_hw
+        side = label + 1  # class k -> (k+1)x(k+1) blob grid (flip-symmetric)
+        centers_y = (np.arange(side) + 0.5) / side * h
+        centers_x = (np.arange(side) + 0.5) / side * w
+        cy = np.repeat(centers_y, side)
+        cx = np.tile(centers_x, side)
+        pick = rng.integers(0, side * side, self.num_events)
+        sigma = min(h, w) / (6.0 * side)
+        x = np.clip(cx[pick] + rng.normal(0, sigma, self.num_events), 0, w - 1)
+        y = np.clip(cy[pick] + rng.normal(0, sigma, self.num_events), 0, h - 1)
+        t = np.sort(rng.uniform(0, 1, self.num_events))
+        p = rng.integers(0, 2, self.num_events)
+        return np.stack([x, y, t, p], 1), label

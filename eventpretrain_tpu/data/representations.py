@@ -1,0 +1,81 @@
+"""Batched on-device event-representation builder (+post-augment normalization).
+
+Encapsulates the representation switch the reference performs per-sample in
+each dataset's ``__getitem__`` (exemplar: dataset/finetune_cls/
+ft_n_cars_dataset.py:72-95):
+
+  num_bins == 2 -> ECDP pos/neg count image; after view augment, per-channel
+                   ``x / (amax + 1)`` then ``(x - 0.5) * 2``;
+  num_bins == 3 -> MEM [pos, 0, neg]/255 with hot-pixel removal; after view
+                   augment, count channels scaled so their max is 1;
+  else         -> temporal-bilinear voxel grid (no normalization).
+
+TPU-first: events are rasterized onto a fixed canvas (the dataset's max
+sensor size) so the whole batch is one static-shape program; the subsequent
+crop/resize reads only each sample's true sensor region.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from eventpretrain_tpu.ops.events import (
+    events_to_voxel_grid,
+    events_to_image_ecdp,
+    events_to_image_mem,
+    remove_hot_pixels,
+)
+
+
+def num_channels(num_bins: int) -> int:
+    return {2: 2, 3: 3}.get(num_bins, num_bins)
+
+
+def build_representation(
+    events: jax.Array,
+    counts: jax.Array,
+    *,
+    num_bins: int,
+    height: int,
+    width: int,
+    sensor_hw: Optional[jax.Array] = None,
+) -> jax.Array:
+    """(B, E, 4) padded events -> (B, height, width, C) representation."""
+
+    if num_bins == 2:
+        fn = functools.partial(
+            events_to_image_ecdp, height=height, width=width
+        )
+        return jax.vmap(fn)(events, counts)
+    if num_bins == 3:
+        fn = functools.partial(events_to_image_mem, height=height, width=width)
+        img = jax.vmap(fn)(events, counts) / 255.0
+        if sensor_hw is None:
+            return jax.vmap(remove_hot_pixels)(img)
+        return jax.vmap(remove_hot_pixels, in_axes=(0, None, 0))(
+            img, 10.0, sensor_hw
+        )
+    fn = functools.partial(
+        events_to_voxel_grid, num_bins=num_bins, height=height, width=width
+    )
+    return jax.vmap(fn)(events, counts)
+
+
+def normalize_representation(evg: jax.Array, num_bins: int) -> jax.Array:
+    """Post-augment per-sample normalization (ft_n_cars_dataset.py:89-95)."""
+    if num_bins == 2:
+        amax = evg.max(axis=(1, 2), keepdims=True)
+        evg = evg / (amax + 1.0)
+        return (evg - 0.5) * 2.0
+    if num_bins == 3:
+        counts_max = evg[..., 0::2].max(axis=(1, 2, 3), keepdims=True)
+        factor = jnp.where(counts_max > 0, 1.0 / jnp.maximum(counts_max, 1e-12), 1.0)
+        scale = jnp.concatenate(
+            [factor, jnp.ones_like(factor), factor], axis=-1
+        )
+        return evg * scale
+    return evg

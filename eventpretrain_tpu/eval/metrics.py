@@ -1,0 +1,97 @@
+"""Task metrics as pure jittable functions.
+
+Equivalents of the reference's metric code:
+  * topk_accuracy      <- timm.utils.accuracy usage (ft_cls_trainer.py:156-164)
+  * confusion_matrix / miou / macc
+                       <- trainer/finetune_semseg/semseg_metric.py:4-35
+                          (bincount trick; the reference's swapped arg names
+                          are NOT replicated — args here are (predict, target))
+  * flow_error         <- trainer/finetune_flow/flow_metric.py:4-38
+                          (AEE + %outliers with epe>3 and epe/mag>0.05)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def topk_accuracy(
+    logits: jax.Array, labels: jax.Array, topk: tuple[int, ...] = (1, 5)
+) -> dict[str, jax.Array]:
+    """Per-batch top-k accuracy in percent."""
+    out = {}
+    max_k = max(topk)
+    _, pred = jax.lax.top_k(logits, max_k)  # (B, max_k)
+    correct = pred == labels[:, None]
+    for k in topk:
+        out[f"acc{k}"] = correct[:, :k].any(axis=1).mean() * 100.0
+    return out
+
+
+def confusion_matrix(
+    predict: jax.Array,
+    target: jax.Array,
+    num_classes: int,
+    ignore_label: Optional[int] = None,
+) -> jax.Array:
+    """Confusion counts (num_classes, num_classes), rows=predict, cols=target.
+
+    Matches semseg_metric.py:4-18: pixels where *predict* equals the ignore
+    label are dropped, and the flat bin index is target + C * predict.
+    """
+    predict = predict.reshape(-1).astype(jnp.int32)
+    target = target.reshape(-1).astype(jnp.int32)
+    if ignore_label is not None:
+        keep = predict != ignore_label
+    else:
+        keep = jnp.ones_like(predict, bool)
+    idx = jnp.where(keep, target + num_classes * predict, num_classes ** 2)
+    counts = jnp.zeros((num_classes ** 2 + 1,), jnp.int32).at[idx].add(1)
+    return counts[: num_classes ** 2].reshape(num_classes, num_classes)
+
+
+def miou_from_confusion(confusion: jax.Array) -> jax.Array:
+    """Mean IoU in percent (semseg_metric.py:20-26)."""
+    confusion = confusion.astype(jnp.float64)
+    diag = jnp.diagonal(confusion)
+    denom = confusion.sum(axis=1) + confusion.sum(axis=0) - diag
+    iou = 100.0 * diag / jnp.maximum(denom, 1e-12)
+    return iou.mean()
+
+
+def macc_from_confusion(confusion: jax.Array) -> jax.Array:
+    """Mean class accuracy in percent (semseg_metric.py:28-35)."""
+    confusion = confusion.astype(jnp.float64)
+    diag = jnp.diagonal(confusion)
+    acc = 100.0 * diag / jnp.maximum(confusion.sum(axis=1), 1e-12)
+    return acc.mean()
+
+
+def flow_error(
+    predict: jax.Array,
+    target: jax.Array,
+    valid: Optional[jax.Array] = None,
+) -> tuple[jax.Array, jax.Array]:
+    """(AEE, %outliers) over valid pixels.
+
+    predict/target: (..., H, W, 2) channels-last; valid: (..., H, W) or None.
+    Outlier: epe > 3 and epe/|target| > 0.05 (flow_metric.py:23-29).
+    """
+    epe = jnp.sqrt(((predict - target) ** 2).sum(axis=-1))
+    mag = jnp.sqrt((target ** 2).sum(axis=-1))
+    if valid is None:
+        w = jnp.ones_like(epe)
+    else:
+        w = (valid == 1).astype(epe.dtype)
+    total = jnp.maximum(w.sum(), 1.0)
+    aee = (epe * w).sum() / total
+    outlier = (
+        ((epe > 3.0) & ((epe / jnp.maximum(mag, 1e-12)) > 0.05)).astype(
+            epe.dtype
+        )
+        * w
+    ).sum() / total * 100.0
+    return aee, outlier

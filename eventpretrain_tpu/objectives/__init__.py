@@ -4,3 +4,4 @@ from eventpretrain_tpu.objectives.contrastive import (
     token_infonce_queue,
     global_token_infonce,
 )
+from eventpretrain_tpu.objectives.cls import cls_loss

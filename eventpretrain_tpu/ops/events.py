@@ -138,7 +138,11 @@ def events_to_image_mem(
     return jnp.stack([pos, jnp.zeros_like(pos), neg], axis=-1)
 
 
-def remove_hot_pixels(hist: jax.Array, num_stds: float = 10.0) -> jax.Array:
+def remove_hot_pixels(
+    hist: jax.Array,
+    num_stds: float = 10.0,
+    region_hw: jax.Array | None = None,
+) -> jax.Array:
     """Zero out hot pixels in a MEM count image ``(H, W, 3)``.
 
     Parity with reference events_to_image.py:65-75: statistics over the count
@@ -147,10 +151,25 @@ def remove_hot_pixels(hist: jax.Array, num_stds: float = 10.0) -> jax.Array:
     channels zeroed. (The reference's ``np.unravel_index`` uses the full
     3-channel shape but then writes through ``hist[0::2]``, which collapses to
     exactly this per-pixel behavior.)
+
+    ``region_hw``: optional (2,) int array (h, w) — when the image was
+    rasterized onto a larger fixed canvas, statistics are computed over the
+    top-left (h, w) sensor region only, matching the reference's
+    sensor-resolution statistics.
     """
     counts = hist[..., 0::2]
-    mean = jnp.mean(counts)
-    std = jnp.std(counts, ddof=1)
+    if region_hw is None:
+        mean = jnp.mean(counts)
+        std = jnp.std(counts, ddof=1)
+    else:
+        h, w = region_hw[0], region_hw[1]
+        rows = jnp.arange(hist.shape[0])[:, None] < h
+        cols = jnp.arange(hist.shape[1])[None, :] < w
+        region = (rows & cols)[..., None].astype(counts.dtype)
+        n = jnp.maximum((region * jnp.ones_like(counts)).sum(), 2.0)
+        mean = (counts * region).sum() / n
+        var = (((counts - mean) * region) ** 2).sum() / (n - 1.0)
+        std = jnp.sqrt(var)
     threshold = mean + num_stds * std
     hot = (hist[..., 0] > threshold) | (hist[..., 2] > threshold)
     keep = jnp.where(hot, 0.0, 1.0)[..., None]

@@ -194,3 +194,63 @@ def make_rec_and_con_step(
         return new_state, metrics
 
     return step
+
+
+def make_cls_train_step(hub, *, smoothing: float = 0.0) -> Callable:
+    """Classification finetune step (reference ft_cls_trainer.py:15-109).
+
+    batch = {'evg': (B,H,W,C), 'label': (B,)}.
+    """
+    from eventpretrain_tpu.objectives.cls import cls_loss
+    from eventpretrain_tpu.eval.metrics import topk_accuracy
+
+    def loss_fn(params, state: TrainState, batch, rng):
+        _, logits, _ = state.apply_fn(
+            {"params": params},
+            batch["evg"],
+            train=True,
+            rngs={"dropout": rng},
+        )
+        loss = cls_loss(logits, batch["label"], smoothing)
+        return loss, logits
+
+    @jax.jit
+    def step(state: TrainState, batch, rng):
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state, batch, rng
+        )
+        new_state = state.apply_gradients(grads)
+        metrics = {
+            "loss": loss,
+            "grad_norm": global_grad_norm(grads),
+            **topk_accuracy(
+                logits, batch["label"],
+                topk=(1,) if logits.shape[-1] < 5 else (1, 5),
+            ),
+        }
+        return new_state, metrics
+
+    return step
+
+
+def make_cls_eval_step(hub) -> Callable:
+    """Validation step (reference ft_val, ft_cls_trainer.py:111-192)."""
+    from eventpretrain_tpu.objectives.cls import cls_loss
+    from eventpretrain_tpu.eval.metrics import topk_accuracy
+
+    @jax.jit
+    def step(state: TrainState, batch):
+        _, logits, _ = state.apply_fn(
+            {"params": state.params}, batch["evg"], train=False
+        )
+        loss = cls_loss(logits, batch["label"])
+        metrics = {
+            "loss": loss,
+            **topk_accuracy(
+                logits, batch["label"],
+                topk=(1,) if logits.shape[-1] < 5 else (1, 5),
+            ),
+        }
+        return metrics
+
+    return step

@@ -1,0 +1,136 @@
+"""Metric logging: smoothed windows, ETA, JSON-lines epoch log.
+
+Equivalent of reference utils/misc.py:24-190 (SmoothedValue / MetricLogger).
+No distributed sync machinery is needed: metrics come out of the jitted step
+already reduced over the global batch; `log_every` is purely a host-side
+progress reporter. Device metrics are fetched lazily (one blocking transfer
+per print window, not per step) to keep the device queue full.
+"""
+
+from __future__ import annotations
+
+import collections
+import datetime
+import json
+import os
+import time
+from typing import Any, Iterable, Iterator
+
+import numpy as np
+
+
+class SmoothedValue:
+    """Track a series with a smoothing window (reference misc.py:24-83)."""
+
+    def __init__(self, window_size: int = 20, fmt: str = "{median:.4f} ({global_avg:.4f})"):
+        self.deque = collections.deque(maxlen=window_size)
+        self.total = 0.0
+        self.count = 0
+        self.fmt = fmt
+
+    def update(self, value: float, n: int = 1):
+        value = float(value)
+        self.deque.append(value)
+        self.count += n
+        self.total += value * n
+
+    @property
+    def median(self) -> float:
+        return float(np.median(self.deque)) if self.deque else 0.0
+
+    @property
+    def avg(self) -> float:
+        return float(np.mean(self.deque)) if self.deque else 0.0
+
+    @property
+    def global_avg(self) -> float:
+        return self.total / max(self.count, 1)
+
+    @property
+    def max(self) -> float:
+        return max(self.deque) if self.deque else 0.0
+
+    @property
+    def value(self) -> float:
+        return self.deque[-1] if self.deque else 0.0
+
+    def __str__(self):
+        return self.fmt.format(
+            median=self.median, avg=self.avg, global_avg=self.global_avg,
+            max=self.max, value=self.value,
+        )
+
+
+class MetricLogger:
+    """Progress logging over an iterable (reference misc.py:86-190)."""
+
+    def __init__(self, delimiter: str = "  "):
+        self.meters: dict[str, SmoothedValue] = collections.defaultdict(
+            SmoothedValue
+        )
+        self.delimiter = delimiter
+
+    def update(self, **kwargs):
+        for k, v in kwargs.items():
+            self.meters[k].update(float(v))
+
+    def __getattr__(self, attr):
+        if attr in self.meters:
+            return self.meters[attr]
+        raise AttributeError(attr)
+
+    def __str__(self):
+        return self.delimiter.join(
+            f"{name}: {meter}" for name, meter in self.meters.items()
+        )
+
+    def log_every(
+        self, iterable: Iterable, print_freq: int, header: str = ""
+    ) -> Iterator:
+        i = 0
+        start = time.time()
+        end = time.time()
+        iter_time = SmoothedValue(fmt="{avg:.4f}")
+        data_time = SmoothedValue(fmt="{avg:.4f}")
+        try:
+            total = len(iterable)  # type: ignore[arg-type]
+        except TypeError:
+            total = None
+        space = len(str(total)) if total else 6
+        for obj in iterable:
+            data_time.update(time.time() - end)
+            yield obj
+            iter_time.update(time.time() - end)
+            if i % print_freq == 0 or (total and i == total - 1):
+                if total:
+                    eta = iter_time.global_avg * (total - i)
+                    eta_str = str(datetime.timedelta(seconds=int(eta)))
+                    prog = f"[{i:{space}d}/{total}] eta: {eta_str}"
+                else:
+                    prog = f"[{i}]"
+                print(
+                    self.delimiter.join(
+                        [header, prog, str(self),
+                         f"time: {iter_time}", f"data: {data_time}"]
+                    ),
+                    flush=True,
+                )
+            i += 1
+            end = time.time()
+        elapsed = time.time() - start
+        print(
+            f"{header} Total time: "
+            f"{str(datetime.timedelta(seconds=int(elapsed)))} "
+            f"({elapsed / max(i, 1):.4f} s/it)",
+            flush=True,
+        )
+
+    def global_averages(self) -> dict[str, float]:
+        return {k: m.global_avg for k, m in self.meters.items()}
+
+
+def append_log_line(output_dir: str, record: dict[str, Any]):
+    """JSON-lines epoch log (reference main_pretrain.py:382-386)."""
+    os.makedirs(output_dir, exist_ok=True)
+    with open(os.path.join(output_dir, "log.txt"), "a") as f:
+        f.write(json.dumps(record) + "\n")

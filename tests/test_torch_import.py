@@ -1,0 +1,133 @@
+"""Torch-checkpoint importer parity: flax forward == torch forward.
+
+Builds a minimal torch ViT with the reference's parameter surface (fused qkv,
+LN+GELU patch embed, pre-norm blocks — formulas per reference
+model/sub_module/vit_block.py and model/backbone/vit.py), exports its state
+dict under the reference's key names, imports it with ckpt.torch_import, and
+checks numerical agreement of the full forward pass.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from eventpretrain_tpu.models.vit import ViT  # noqa: E402
+from eventpretrain_tpu.ckpt.torch_import import (  # noqa: E402
+    import_torch_params,
+    load_torch_state_dict,
+)
+from eventpretrain_tpu.ops.pos_embed import get_2d_sincos_pos_embed  # noqa: E402
+
+
+class TorchBlock(tnn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.norm1 = tnn.LayerNorm(dim, eps=1e-6)
+        self.attn = tnn.Module()
+        self.attn.qkv = tnn.Linear(dim, dim * 3, bias=True)
+        self.attn.proj = tnn.Linear(dim, dim)
+        self.norm2 = tnn.LayerNorm(dim, eps=1e-6)
+        self.mlp = tnn.Module()
+        self.mlp.fc1 = tnn.Linear(dim, dim * 4)
+        self.mlp.fc2 = tnn.Linear(dim * 4, dim)
+        self.heads = heads
+
+    def forward(self, x):
+        b, n, c = x.shape
+        h = self.heads
+        y = self.norm1(x)
+        qkv = self.attn.qkv(y).reshape(b, n, 3, h, c // h).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        a = (q @ k.transpose(-2, -1)) * (c // h) ** -0.5
+        a = a.softmax(dim=-1)
+        y = (a @ v).transpose(1, 2).reshape(b, n, c)
+        x = x + self.attn.proj(y)
+        y = self.norm2(x)
+        y = self.mlp.fc2(tnn.functional.gelu(self.mlp.fc1(y)))
+        return x + y
+
+
+class TorchViT(tnn.Module):
+    def __init__(self, img=32, patch=8, dim=48, depth=2, heads=4, bins=5):
+        super().__init__()
+        self.patch_embed = tnn.Module()
+        self.patch_embed.proj = tnn.Conv2d(bins, dim, patch, patch)
+        self.patch_embed.norm = tnn.LayerNorm(dim)
+        self.vit_block = tnn.ModuleList(
+            [TorchBlock(dim, heads) for _ in range(depth)]
+        )
+        self.norm_layer = tnn.LayerNorm(dim, eps=1e-6)
+        grid = img // patch
+        pe = get_2d_sincos_pos_embed(dim, grid)
+        self.pos_embed = torch.from_numpy(pe).float()[None]
+
+    def forward(self, x):  # x: (B, C, H, W)
+        x = self.patch_embed.proj(x)
+        x = self.patch_embed.norm(x.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+        x = tnn.functional.gelu(x)
+        x = x.flatten(2).permute(0, 2, 1)
+        x = x + self.pos_embed
+        for blk in self.vit_block:
+            x = blk(x)
+        return self.norm_layer(x)
+
+
+def test_forward_parity_after_import(tmp_path):
+    torch.manual_seed(0)
+    tmodel = TorchViT().eval()
+    sd = {"backbone." + k: v for k, v in tmodel.state_dict().items()}
+    path = tmp_path / "ckpt.pth"
+    torch.save({"model": sd}, path)
+
+    x = np.random.default_rng(0).normal(size=(2, 5, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x)).numpy()
+
+    fmodel = ViT(
+        input_size=32, patch_size=8, embed_dim=48, depth=2, num_heads=4,
+        num_bins=5, out_indices=(0, 1), masked_taps=(0, 1), dense_taps=(0, 1),
+        name="backbone",
+    )
+    variables = fmodel.init(
+        jax.random.key(0), jnp.zeros((1, 32, 32, 5))
+    )
+    loaded = load_torch_state_dict(str(path))
+    params = {"backbone": variables["params"]}
+    new_params, missing, unused = import_torch_params(loaded, params)
+    assert not missing, missing
+    assert not unused, unused
+
+    got = fmodel.apply(
+        {"params": new_params["backbone"]},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        method=fmodel.encode_dense,
+        return_pyramid=False,
+    )[2]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+def test_dialect_renames(tmp_path):
+    # ecdp dialect: encoder_q -> backbone, blocks -> vit_block, drop encoder_k
+    sd = {
+        "encoder_q.blocks.0.attn.qkv.weight": torch.zeros(9, 3),
+        "encoder_q.norm.weight": torch.zeros(3),
+        "encoder_k.blocks.0.attn.qkv.weight": torch.zeros(9, 3),
+    }
+    path = tmp_path / "ecdp.pth"
+    torch.save({"checkpoint": sd}, path)
+    out = load_torch_state_dict(str(path))
+    assert "backbone.vit_block.0.attn.qkv.weight" in out
+    assert "backbone.norm_layer.weight" in out
+    assert not any(k.startswith("encoder_k") for k in out)
+
+    # native dialect: finetune_encoder -> backbone
+    sd2 = {"finetune_encoder.patch_embed.proj.weight": torch.zeros(4, 5, 8, 8)}
+    path2 = tmp_path / "native.pth"
+    torch.save({"model": sd2}, path2)
+    out2 = load_torch_state_dict(str(path2))
+    assert "backbone.patch_embed.proj.weight" in out2
