@@ -29,12 +29,13 @@ def main():
     rng = np.random.default_rng(0)
     evg = jnp.asarray(rng.normal(size=(batch, 224, 224, 5)), jnp.float32)
     frame = jnp.asarray(rng.normal(size=(batch, 224, 224, 1)), jnp.float32)
-    variables = hub.init(
+    variables = jax.jit(
+        lambda *a, **k: hub.init(*a, **k, method=hub.forward_rec)
+    )(
         jax.random.key(0),
         evg[:1],
         jnp.arange(49)[None],
         jnp.arange(196)[None],
-        method=hub.forward_rec,
     )
     tx = build_optimizer(
         variables["params"], learning_rate=1.5e-4, betas=(0.9, 0.95),

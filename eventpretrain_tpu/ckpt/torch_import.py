@@ -112,6 +112,12 @@ def _flax_path_to_torch_key(path: list[str]) -> tuple[str, str]:
         if m and parts and parts[-1] in ("emb_h_proj", "emb_h_pred"):
             parts.append(str(_PROJECTOR_SEQ[m.group(1)](int(m.group(2)))))
             continue
+        if name == "fpn_conv":  # torch nn.Sequential fpn.{0:conv,1:bn}
+            parts.extend(["fpn", "0"])
+            continue
+        if name == "fpn_bn":
+            parts.extend(["fpn", "1"])
+            continue
         parts.append(name)
 
     if leaf == "kernel":

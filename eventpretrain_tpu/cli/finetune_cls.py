@@ -29,6 +29,13 @@ from eventpretrain_tpu.data.cls_pipeline import (
 from eventpretrain_tpu.models.cls_hub import (
     cls_hub_vit_small,
     cls_hub_vit_base,
+    cls_hub_convvit_small,
+    cls_hub_convvit_base,
+    cls_hub_swin_tiny,
+    cls_hub_vit_ecdp_small,
+    cls_hub_vit_ecdp_base,
+    cls_hub_vit_mem_small,
+    cls_hub_vit_mem_base,
 )
 from eventpretrain_tpu.train import (
     build_optimizer,
@@ -53,7 +60,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--train_root", default=None)
     p.add_argument("--val_root", default=None)
     p.add_argument("--num_classes", type=int, default=2)
-    p.add_argument("--backbone", default="vit", choices=["vit"])
+    p.add_argument("--backbone", default="vit", choices=["vit", "convvit", "swin", "vit_ecdp", "vit_mem"])
     p.add_argument("--model_size", default="small", choices=["small", "base"])
     p.add_argument("--num_bins", type=int, default=5)
     p.add_argument("--input_size", type=int, default=224)
@@ -122,6 +129,14 @@ def main(args=None):
     factory = {
         ("vit", "small"): cls_hub_vit_small,
         ("vit", "base"): cls_hub_vit_base,
+        ("convvit", "small"): cls_hub_convvit_small,
+        ("convvit", "base"): cls_hub_convvit_base,
+        ("swin", "small"): cls_hub_swin_tiny,
+        ("swin", "base"): cls_hub_swin_tiny,
+        ("vit_ecdp", "small"): cls_hub_vit_ecdp_small,
+        ("vit_ecdp", "base"): cls_hub_vit_ecdp_base,
+        ("vit_mem", "small"): cls_hub_vit_mem_small,
+        ("vit_mem", "base"): cls_hub_vit_mem_base,
     }[(args.backbone, args.model_size)]
     hub = factory(
         num_classes=args.num_classes,
@@ -130,7 +145,7 @@ def main(args=None):
         input_size=args.input_size,
         drop_path_rate=args.drop_path_rate,
     )
-    variables = hub.init(
+    variables = jax.jit(hub.init)(
         jax.random.key(args.seed),
         jnp.zeros((1, args.input_size, args.input_size,
                    {2: 2, 3: 3}.get(args.num_bins, args.num_bins))),
@@ -159,7 +174,7 @@ def main(args=None):
         weight_decay=args.weight_decay,
         betas=(0.9, 0.999),
         layer_decay=args.layer_decay if args.use_layer_decay else 1.0,
-        num_layers=12,
+        num_layers=13 if args.backbone == "convvit" else 12,
         backbone_type=args.backbone,
         clip_grad=args.clip_grad,
         trainable_mask=trainable_mask,

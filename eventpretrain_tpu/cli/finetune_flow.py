@@ -1,0 +1,187 @@
+"""Optical-flow finetune entry point (MVSEC).
+
+Typed-config replacement for reference main_finetune_flow.py:1-398.
+
+  python -m eventpretrain_tpu.cli.finetune_flow --dataset synthetic \\
+      --epochs 2 --batch_size 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eventpretrain_tpu.data.dense_pipeline import (
+    DenseDataConfig,
+    DensePipeline,
+    SyntheticDenseSource,
+)
+from eventpretrain_tpu.cli.finetune_semseg import HUBS
+from eventpretrain_tpu.train import (
+    build_optimizer,
+    cosine_warmup_schedule,
+    TrainState,
+)
+from eventpretrain_tpu.train.steps import (
+    make_flow_train_step,
+    make_flow_eval_step,
+)
+from eventpretrain_tpu.train.loop import train_one_epoch
+from eventpretrain_tpu.ckpt import save_checkpoint, restore_checkpoint
+from eventpretrain_tpu.ckpt.torch_import import load_torch_backbone_if_needed
+from eventpretrain_tpu.utils.logging import append_log_line
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("finetune_flow")
+    p.add_argument("--dataset", default="synthetic",
+                   choices=["synthetic", "mvsec"])
+    p.add_argument("--data_root", default=None)
+    p.add_argument("--val_splits", nargs="*",
+                   default=["indoor_flying1", "indoor_flying2",
+                            "indoor_flying3"])
+    p.add_argument("--backbone", default="convvit",
+                   choices=["vit", "convvit", "swin"])
+    p.add_argument("--model_size", default="small", choices=["small", "base"])
+    p.add_argument("--num_bins", type=int, default=5)
+    p.add_argument("--input_size", type=int, default=224)
+    p.add_argument("--fix_events_num", type=int, default=30_000)
+    p.add_argument("--val_fix_events_num", type=int, default=30_000)
+    p.add_argument("--max_flow", type=float, default=400.0)
+    p.add_argument("--skip_num", type=int, default=1)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--warmup_epochs", type=float, default=2)
+    p.add_argument("--blr", type=float, default=2.5e-4)
+    p.add_argument("--min_lr", type=float, default=1e-6)
+    p.add_argument("--weight_decay", type=float, default=0.05)
+    p.add_argument("--layer_decay", type=float, default=0.75)
+    p.add_argument("--use_layer_decay", action="store_true")
+    p.add_argument("--clip_grad", type=float, default=5.0)
+    p.add_argument("--w_decode_loss", type=float, default=1.0)
+    p.add_argument("--w_auxiliary_loss", type=float, default=0.4)
+    p.add_argument("--finetune", default=None)
+    p.add_argument("--resume", default=None)
+    p.add_argument("--output_dir", default="./results/finetune_flow")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    p.add_argument("--print_freq", type=int, default=20)
+    return p
+
+
+def make_sources(args):
+    if args.dataset == "synthetic":
+        train = SyntheticDenseSource("flow", n=32, seed=args.seed)
+        vals = {"synthetic": SyntheticDenseSource("flow", n=8,
+                                                  seed=args.seed + 100)}
+        return train, vals, train.sensor_hw
+    from eventpretrain_tpu.data.mvsec import MvsecSource
+
+    assert args.data_root, "--data_root required"
+    train = MvsecSource(
+        args.data_root, "outdoor_day2", args.fix_events_num,
+        skip_num=args.skip_num,
+    )
+    vals = {
+        split: MvsecSource(args.data_root, split, args.val_fix_events_num,
+                           skip_num=args.skip_num)
+        for split in args.val_splits
+    }
+    return train, vals, (260, 346)
+
+
+def main(args=None):
+    args = build_parser().parse_args(args)
+    np.random.seed(args.seed)
+    train_src, val_srcs, sensor_hw = make_sources(args)
+
+    cfg = DenseDataConfig(
+        task="flow", num_bins=args.num_bins, input_size=args.input_size,
+        fix_events_num=args.fix_events_num,
+        val_fix_events_num=args.val_fix_events_num,
+        sensor_height=sensor_hw[0], sensor_width=sensor_hw[1],
+        label_size=sensor_hw,
+    )
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    hub = HUBS[(args.backbone, args.model_size)](
+        num_classes=2, num_bins=args.num_bins, dtype=dtype,
+        input_size=args.input_size,
+    )
+    variables = jax.jit(hub.init)(
+        jax.random.key(args.seed),
+        jnp.zeros((1, args.input_size, args.input_size, args.num_bins)),
+    )
+    params = variables["params"]
+    if args.finetune:
+        params = load_torch_backbone_if_needed(args.finetune, params)
+
+    steps_per_epoch = max(len(train_src) // args.batch_size, 1)
+    lr = args.blr * args.batch_size / 256
+    schedule = cosine_warmup_schedule(
+        lr, args.min_lr, args.warmup_epochs, args.epochs, steps_per_epoch
+    )
+    tx = build_optimizer(
+        params, learning_rate=schedule, weight_decay=args.weight_decay,
+        betas=(0.9, 0.999),
+        layer_decay=args.layer_decay if args.use_layer_decay else 1.0,
+        num_layers=13 if args.backbone == "convvit" else 12,
+        backbone_type=args.backbone, clip_grad=args.clip_grad,
+    )
+    state = TrainState.create(
+        apply_fn=hub.apply, params=params,
+        batch_stats=variables.get("batch_stats", {}), tx=tx,
+    )
+    if args.resume:
+        state = restore_checkpoint(args.resume, state)
+
+    train_step = make_flow_train_step(
+        hub, max_flow=args.max_flow,
+        w_decode=args.w_decode_loss, w_aux=args.w_auxiliary_loss,
+    )
+    eval_step = make_flow_eval_step(hub)
+
+    best_aee = {k: float("inf") for k in val_srcs}
+    key = jax.random.key(args.seed)
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        pipe = DensePipeline(train_src, cfg, args.batch_size, train=True,
+                             seed=args.seed + epoch)
+        state, train_metrics = train_one_epoch(
+            step=train_step, state=state, pipeline=pipe,
+            rng_key=jax.random.fold_in(key, epoch), epoch=epoch,
+            print_freq=args.print_freq,
+        )
+        record = {"epoch": epoch,
+                  **{f"train_{k}": v for k, v in train_metrics.items()}}
+        for split, src in val_srcs.items():
+            val_pipe = DensePipeline(src, cfg, args.batch_size, train=False,
+                                     seed=args.seed)
+            epe_sum = out_sum = count = 0.0
+            for batch in val_pipe:
+                m = eval_step(state, batch)
+                epe_sum += float(m["epe_sum"])
+                out_sum += float(m["outlier_sum"])
+                count += float(m["count"])
+            aee = epe_sum / max(count, 1)
+            outlier = 100 * out_sum / max(count, 1)
+            record[f"{split}_aee"] = aee
+            record[f"{split}_outlier"] = outlier
+            print(f"epoch {epoch} [{split}]: AEE {aee:.3f} "
+                  f"outliers {outlier:.2f}%")
+            if aee < best_aee[split]:
+                best_aee[split] = aee
+                save_checkpoint(args.output_dir, state, name=f"best_{split}")
+        record["epoch_time_s"] = round(time.time() - t0, 2)
+        append_log_line(args.output_dir, record)
+        save_checkpoint(args.output_dir, state)
+    print("best AEE per split:", best_aee)
+    return best_aee
+
+
+if __name__ == "__main__":
+    main()

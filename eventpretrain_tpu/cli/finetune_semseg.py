@@ -1,0 +1,206 @@
+"""Semantic-segmentation finetune entry point (DSEC / DDD17).
+
+Typed-config replacement for reference main_finetune_semseg.py:1-396.
+
+  python -m eventpretrain_tpu.cli.finetune_semseg --dataset synthetic \\
+      --epochs 2 --batch_size 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eventpretrain_tpu.data.dense_pipeline import (
+    DenseDataConfig,
+    DensePipeline,
+    DsecSource,
+    Ddd17Source,
+    SyntheticDenseSource,
+)
+from eventpretrain_tpu.models.dense_hub import (
+    dense_hub_vit_small,
+    dense_hub_vit_base,
+    dense_hub_convvit_small,
+    dense_hub_convvit_base,
+    dense_hub_swin_tiny,
+)
+from eventpretrain_tpu.train import (
+    build_optimizer,
+    cosine_warmup_schedule,
+    TrainState,
+)
+from eventpretrain_tpu.train.steps import (
+    make_semseg_train_step,
+    make_semseg_eval_step,
+)
+from eventpretrain_tpu.train.loop import train_one_epoch
+from eventpretrain_tpu.eval.metrics import (
+    miou_from_confusion,
+    macc_from_confusion,
+)
+from eventpretrain_tpu.ckpt import save_checkpoint, restore_checkpoint
+from eventpretrain_tpu.ckpt.torch_import import load_torch_backbone_if_needed
+from eventpretrain_tpu.utils.logging import MetricLogger, append_log_line
+
+HUBS = {
+    ("vit", "small"): dense_hub_vit_small,
+    ("vit", "base"): dense_hub_vit_base,
+    ("convvit", "small"): dense_hub_convvit_small,
+    ("convvit", "base"): dense_hub_convvit_base,
+    ("swin", "small"): dense_hub_swin_tiny,
+    ("swin", "base"): dense_hub_swin_tiny,
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("finetune_semseg")
+    p.add_argument("--dataset", default="synthetic",
+                   choices=["synthetic", "dsec", "ddd17"])
+    p.add_argument("--data_root", default=None)
+    p.add_argument("--num_classes", type=int, default=11)
+    p.add_argument("--ignore_label", type=int, default=255)
+    p.add_argument("--backbone", default="convvit",
+                   choices=["vit", "convvit", "swin"])
+    p.add_argument("--model_size", default="small", choices=["small", "base"])
+    p.add_argument("--num_bins", type=int, default=5)
+    p.add_argument("--input_size", type=int, default=224)
+    p.add_argument("--fix_events_num", type=int, default=200_000)
+    p.add_argument("--val_fix_events_num", type=int, default=200_000)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--warmup_epochs", type=float, default=2)
+    p.add_argument("--blr", type=float, default=2.5e-4)
+    p.add_argument("--min_lr", type=float, default=1e-6)
+    p.add_argument("--weight_decay", type=float, default=0.05)
+    p.add_argument("--layer_decay", type=float, default=0.75)
+    p.add_argument("--use_layer_decay", action="store_true")
+    p.add_argument("--clip_grad", type=float, default=5.0)
+    p.add_argument("--w_decode_loss", type=float, default=1.0)
+    p.add_argument("--w_auxiliary_loss", type=float, default=0.4)
+    p.add_argument("--finetune", default=None)
+    p.add_argument("--resume", default=None)
+    p.add_argument("--output_dir", default="./results/finetune_semseg")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    p.add_argument("--print_freq", type=int, default=20)
+    return p
+
+
+def make_sources(args):
+    if args.dataset == "synthetic":
+        args.num_classes = 5
+        args.ignore_label = None
+        train = SyntheticDenseSource("semseg", n=32, num_classes=5,
+                                     seed=args.seed)
+        val = SyntheticDenseSource("semseg", n=8, num_classes=5,
+                                   seed=args.seed + 100)
+        sensor_hw = train.sensor_hw
+        return train, val, sensor_hw
+    assert args.data_root, "--data_root required"
+    if args.dataset == "dsec":
+        train = DsecSource(args.data_root, DsecSource.TRAIN_SEQUENCES,
+                           args.fix_events_num)
+        val = DsecSource(args.data_root, DsecSource.VAL_SEQUENCES,
+                         args.val_fix_events_num)
+        return train, val, (440, 640)
+    train = Ddd17Source(
+        args.data_root, ["dir0", "dir3", "dir4", "dir6", "dir7"],
+        args.fix_events_num,
+    )
+    val = Ddd17Source(args.data_root, ["dir1"], args.val_fix_events_num)
+    return train, val, (200, 346)
+
+
+def main(args=None):
+    args = build_parser().parse_args(args)
+    np.random.seed(args.seed)
+    train_src, val_src, sensor_hw = make_sources(args)
+
+    cfg = DenseDataConfig(
+        task="semseg", num_bins=args.num_bins, input_size=args.input_size,
+        fix_events_num=args.fix_events_num,
+        val_fix_events_num=args.val_fix_events_num,
+        sensor_height=sensor_hw[0], sensor_width=sensor_hw[1],
+        label_size=sensor_hw,
+    )
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    hub = HUBS[(args.backbone, args.model_size)](
+        num_classes=args.num_classes, num_bins=args.num_bins, dtype=dtype,
+        input_size=args.input_size,
+    )
+    variables = jax.jit(hub.init)(
+        jax.random.key(args.seed),
+        jnp.zeros((1, args.input_size, args.input_size, args.num_bins)),
+    )
+    params = variables["params"]
+    if args.finetune:
+        params = load_torch_backbone_if_needed(args.finetune, params)
+
+    steps_per_epoch = max(len(train_src) // args.batch_size, 1)
+    lr = args.blr * args.batch_size / 256
+    schedule = cosine_warmup_schedule(
+        lr, args.min_lr, args.warmup_epochs, args.epochs, steps_per_epoch
+    )
+    tx = build_optimizer(
+        params, learning_rate=schedule, weight_decay=args.weight_decay,
+        betas=(0.9, 0.999),
+        layer_decay=args.layer_decay if args.use_layer_decay else 1.0,
+        num_layers=13 if args.backbone == "convvit" else 12,
+        backbone_type=args.backbone, clip_grad=args.clip_grad,
+    )
+    state = TrainState.create(
+        apply_fn=hub.apply, params=params,
+        batch_stats=variables.get("batch_stats", {}), tx=tx,
+    )
+    if args.resume:
+        state = restore_checkpoint(args.resume, state)
+
+    ignore = args.ignore_label
+    train_step = make_semseg_train_step(
+        hub, num_classes=args.num_classes, ignore_index=ignore,
+        w_decode=args.w_decode_loss, w_aux=args.w_auxiliary_loss,
+    )
+    eval_step = make_semseg_eval_step(
+        hub, num_classes=args.num_classes, ignore_label=ignore
+    )
+
+    best_miou = 0.0
+    key = jax.random.key(args.seed)
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        pipe = DensePipeline(train_src, cfg, args.batch_size, train=True,
+                             seed=args.seed + epoch)
+        state, train_metrics = train_one_epoch(
+            step=train_step, state=state, pipeline=pipe,
+            rng_key=jax.random.fold_in(key, epoch), epoch=epoch,
+            print_freq=args.print_freq,
+        )
+        val_pipe = DensePipeline(val_src, cfg, args.batch_size, train=False,
+                                 seed=args.seed)
+        conf = 0
+        for batch in val_pipe:
+            conf = conf + eval_step(state, batch)
+        miou = float(miou_from_confusion(conf))
+        macc = float(macc_from_confusion(conf))
+        print(f"epoch {epoch}: mIoU {miou:.2f} mAcc {macc:.2f}")
+        append_log_line(args.output_dir, {
+            "epoch": epoch, "miou": miou, "macc": macc,
+            **{f"train_{k}": v for k, v in train_metrics.items()},
+            "epoch_time_s": round(time.time() - t0, 2),
+        })
+        save_checkpoint(args.output_dir, state)
+        if miou > best_miou:
+            best_miou = miou
+            save_checkpoint(args.output_dir, state, name="best")
+    print(f"best mIoU: {best_miou:.2f}")
+    return best_miou
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,373 @@
+"""Three-stage pretrain entry point.
+
+Typed-config replacement for reference main_pretrain.py:32-399. Stages:
+
+  rec     : difference-guided masked modeling (stage 1)
+  adj     : backbone-fixed feature transition — backbone frozen except
+            norm_layer (stage 2; reference main_pretrain.py:281-284)
+  con     : focus-aimed contrastive, full model trains (stage 3)
+  rec+con : joint objective
+
+  python -m eventpretrain_tpu.cli.pretrain --pr_phase rec --dataset synthetic \\
+      --epochs 2 --batch_size 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eventpretrain_tpu.data.pretrain_pipeline import (
+    PretrainDataConfig,
+    PretrainPipeline,
+    EFImageNetSource,
+    SyntheticPretrainSource,
+)
+from eventpretrain_tpu.models.pretrain_hub import (
+    pretrain_hub_small,
+    pretrain_hub_base,
+    pretrain_hub_convvit_small,
+    pretrain_hub_convvit_base,
+    pretrain_hub_swin,
+)
+from eventpretrain_tpu.objectives import init_queue
+from eventpretrain_tpu.train import (
+    build_optimizer,
+    cosine_warmup_schedule,
+    frozen_except_norm_mask,
+    TrainState,
+)
+from eventpretrain_tpu.train.steps import (
+    make_rec_step,
+    make_con_step,
+    make_rec_and_con_step,
+    make_swin_rec_step,
+)
+from eventpretrain_tpu.train.loop import train_one_epoch
+from eventpretrain_tpu.ckpt import save_checkpoint, restore_checkpoint
+from eventpretrain_tpu.ckpt.torch_import import load_torch_backbone_if_needed
+from eventpretrain_tpu.utils.logging import append_log_line
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("pretrain")
+    p.add_argument("--pr_phase", default="rec",
+                   choices=["rec", "adj", "con", "rec+con", "ecdp"])
+    p.add_argument("--dataset", default="synthetic",
+                   choices=["synthetic", "ef_imagenet"])
+    p.add_argument("--data_root", default=None)
+    p.add_argument("--backbone", default="vit", choices=["vit", "convvit", "swin"])
+    p.add_argument("--model_size", default="small", choices=["small", "base"])
+    p.add_argument("--num_bins", type=int, default=5)
+    p.add_argument("--input_size", type=int, default=224)
+    p.add_argument("--frame_chans", type=int, default=1)
+    p.add_argument("--mask_ratio", type=float, default=0.75)
+    p.add_argument("--masking_strategy", default="random",
+                   choices=["random", "density", "anti-density"])
+    p.add_argument("--norm_pix_loss", action="store_true", default=True)
+    p.add_argument("--no-norm_pix_loss", dest="norm_pix_loss",
+                   action="store_false")
+    p.add_argument("--use_queue", action="store_true")
+    p.add_argument("--queue_length", type=int, default=65536)
+    p.add_argument("--temperature", type=float, default=0.07)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--epochs", type=int, default=400)
+    p.add_argument("--warmup_epochs", type=float, default=40)
+    p.add_argument("--blr", type=float, default=1e-3)
+    p.add_argument("--min_lr", type=float, default=0.0)
+    p.add_argument("--weight_decay", type=float, default=0.05)
+    p.add_argument("--accum_iter", type=int, default=1)
+    p.add_argument("--drop_path_rate", type=float, default=0.0)
+    p.add_argument("--crop_min", type=float, default=0.8)
+    p.add_argument("--init_from", default=None,
+                   help="stage chaining: checkpoint (orbax dir or torch .pth)")
+    p.add_argument("--resume", default=None)
+    p.add_argument("--output_dir", default="./results/pretrain")
+    p.add_argument("--save_model_freq", type=int, default=20)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    p.add_argument("--print_freq", type=int, default=20)
+    return p
+
+
+def main(args=None):
+    args = build_parser().parse_args(args)
+    np.random.seed(args.seed)
+    if args.pr_phase == "ecdp":
+        return main_ecdp(args)
+
+    if args.dataset == "synthetic":
+        source = SyntheticPretrainSource(
+            n=max(args.batch_size * 4, 32), size=args.input_size,
+            num_bins=args.num_bins, seed=args.seed,
+        )
+    else:
+        assert args.data_root, "--data_root required for ef_imagenet"
+        source = EFImageNetSource(args.data_root, pr_phase=args.pr_phase)
+
+    cfg = PretrainDataConfig(
+        pr_phase=args.pr_phase, num_bins=args.num_bins,
+        input_size=args.input_size, crop_min=args.crop_min,
+        frame_chans=args.frame_chans,
+    )
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    factory = {
+        ("vit", "small"): pretrain_hub_small,
+        ("vit", "base"): pretrain_hub_base,
+        ("convvit", "small"): pretrain_hub_convvit_small,
+        ("convvit", "base"): pretrain_hub_convvit_base,
+        ("swin", "small"): pretrain_hub_swin,
+        ("swin", "base"): pretrain_hub_swin,
+    }[(args.backbone, args.model_size)]
+    need_decoder = args.pr_phase in ("rec", "rec+con")
+    hub = factory(
+        num_bins=args.num_bins, mask_ratio=args.mask_ratio,
+        frame_chans=args.frame_chans, with_decoder=need_decoder, dtype=dtype,
+        input_size=args.input_size, drop_path_rate=args.drop_path_rate,
+    )
+    num_patches = hub.num_patches
+    patch_size = 32 if args.backbone == "swin" else 16
+    chans = args.num_bins if args.num_bins != 1 else 1
+    evg0 = jnp.zeros((1, args.input_size, args.input_size, chans))
+
+    params, batch_stats = {}, {}
+    if need_decoder:
+        len_keep = int(num_patches * (1 - args.mask_ratio))
+        mask0 = jnp.zeros((1, num_patches)).at[:, len_keep:].set(1.0)
+        plans0 = None
+        if args.backbone == "swin":
+            from eventpretrain_tpu.models.swin import plans_to_device
+            from eventpretrain_tpu.models.swin_plan import build_swin_plans
+
+            plans0 = plans_to_device(
+                build_swin_plans(
+                    np.asarray(mask0[0], bool),
+                    input_resolution=(args.input_size // 4,) * 2,
+                    cell_grid=int(num_patches ** 0.5),
+                )
+            )
+        import functools
+
+        init_rec = jax.jit(
+            functools.partial(hub.init, method=hub.forward_rec)
+        )
+        v = init_rec(
+            jax.random.key(args.seed), evg0,
+            jnp.arange(len_keep)[None], jnp.arange(num_patches)[None],
+            mask=mask0, plans=plans0,
+        )
+        params.update(v["params"])
+    if args.pr_phase in ("adj", "con", "rec+con"):
+        clip0 = jnp.zeros((1, 197, 512))
+        import functools
+
+        init_con = jax.jit(
+            functools.partial(hub.init, method=hub.forward_con)
+        )
+        v = init_con(jax.random.key(args.seed), evg0, clip0)
+        params = {**v["params"], **params}
+        batch_stats = v["batch_stats"]
+
+    if args.init_from:
+        if args.init_from.endswith((".pth", ".pt", ".bin")):
+            params = load_torch_backbone_if_needed(args.init_from, params)
+        else:
+            # orbax: restore params only (stage chaining keeps fresh optimizer)
+            import orbax.checkpoint as ocp
+            import os
+
+            with ocp.StandardCheckpointer() as ckptr:
+                prev = ckptr.restore(os.path.abspath(args.init_from))
+            prev_params = prev.get("params", prev)
+            merged = 0
+            for k in list(params.keys()):
+                if k in prev_params:
+                    params[k] = jax.tree.map(
+                        lambda new, old: jnp.asarray(old, new.dtype)
+                        if new.shape == old.shape else new,
+                        params[k], prev_params[k],
+                    )
+                    merged += 1
+            print(f"init_from {args.init_from}: merged {merged} top-level trees")
+
+    steps_per_epoch = max(len(source) // args.batch_size, 1)
+    eff_batch = args.batch_size * args.accum_iter
+    lr = args.blr * eff_batch / 256
+    schedule = cosine_warmup_schedule(
+        lr, args.min_lr, args.warmup_epochs, args.epochs, steps_per_epoch
+    )
+    trainable_mask = (
+        frozen_except_norm_mask(params) if args.pr_phase == "adj" else None
+    )
+    tx = build_optimizer(
+        params, learning_rate=schedule, weight_decay=args.weight_decay,
+        betas=(0.9, 0.95), num_layers=12, trainable_mask=trainable_mask,
+        accum_steps=args.accum_iter,
+    )
+    queue = None
+    if args.use_queue and args.pr_phase in ("adj", "con", "rec+con"):
+        assert args.queue_length % (args.batch_size * args.accum_iter) == 0
+        queue = init_queue(
+            jax.random.key(args.seed + 1), hub.embed_dim, num_patches,
+            args.queue_length,
+        )
+    state = TrainState.create(
+        apply_fn=hub.apply, params=params, batch_stats=batch_stats,
+        tx=tx, queue=queue,
+    )
+    if args.resume:
+        state = restore_checkpoint(args.resume, state)
+        print(f"resumed from {args.resume} at step {int(state.step)}")
+
+    common = dict(
+        patch_size=patch_size, num_patches=num_patches,
+        mask_ratio=args.mask_ratio, masking_strategy=args.masking_strategy,
+        norm_pix_loss=args.norm_pix_loss,
+    )
+    if args.pr_phase == "rec":
+        if args.backbone == "swin":
+            step = make_swin_rec_step(
+                hub, cell_grid=int(num_patches ** 0.5),
+                mask_ratio=args.mask_ratio, decoder_patch_size=patch_size,
+                norm_pix_loss=args.norm_pix_loss,
+                input_resolution=args.input_size // 4,
+            )
+        else:
+            step = make_rec_step(hub, **common)
+    elif args.pr_phase in ("adj", "con"):
+        step = make_con_step(
+            hub, use_queue=args.use_queue, temperature=args.temperature
+        )
+    else:
+        step = make_rec_and_con_step(
+            hub, use_queue=args.use_queue, temperature=args.temperature,
+            **common,
+        )
+
+    key = jax.random.key(args.seed)
+    start_epoch = int(state.step) // steps_per_epoch
+    for epoch in range(start_epoch, args.epochs):
+        t0 = time.time()
+        pipe = PretrainPipeline(
+            source, cfg, args.batch_size, train=True, seed=args.seed + epoch
+        )
+        state, metrics = train_one_epoch(
+            step=step, state=state, pipeline=pipe,
+            rng_key=jax.random.fold_in(key, epoch), epoch=epoch,
+            print_freq=args.print_freq,
+        )
+        record = {
+            "epoch": epoch,
+            **{f"train_{k}": v for k, v in metrics.items()},
+            "epoch_time_s": round(time.time() - t0, 2),
+        }
+        append_log_line(args.output_dir, record)
+        if (epoch + 1) % args.save_model_freq == 0 or epoch + 1 == args.epochs:
+            path = save_checkpoint(args.output_dir, state)
+            print(f"saved {path}")
+    return state
+
+
+if __name__ == "__main__":
+    main()
+
+
+def main_ecdp(args):
+    """ECDP baseline pretrain (reference main_pretrain.py pr_phase 'ecdp' +
+    trainer/pretrain/pr_ecdp_trainer.py)."""
+    import functools
+    import time
+
+    from eventpretrain_tpu.data.pretrain_pipeline import (
+        EcdpPretrainPipeline,
+        SyntheticPretrainSource,
+        EFImageNetSource,
+    )
+    from eventpretrain_tpu.models.ecdp_hub import ecdp_model_small, ecdp_model_base
+    from eventpretrain_tpu.objectives.ecdp import init_sample_queue
+    from eventpretrain_tpu.ops import random_masking
+    from eventpretrain_tpu.train.steps import make_ecdp_step
+    from eventpretrain_tpu.utils.logging import append_log_line
+
+    # ECDP runs on 2-channel count images
+    args.num_bins = 2
+    if args.dataset == "synthetic":
+        source = SyntheticPretrainSource(
+            n=max(args.batch_size * 4, 32), size=args.input_size,
+            num_bins=2, clip_tokens=1, seed=args.seed,
+        )
+    else:
+        source = EFImageNetSource(args.data_root, pr_phase="con")
+    cfg = PretrainDataConfig(
+        pr_phase="ecdp", num_bins=2, input_size=args.input_size,
+        crop_min=args.crop_min,
+    )
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    model = {"small": ecdp_model_small, "base": ecdp_model_base}[
+        args.model_size
+    ](dtype=dtype, input_size=args.input_size,
+      drop_path_rate=args.drop_path_rate)
+
+    num_patches = (args.input_size // 16) ** 2
+    len_keep = int(num_patches * (1 - args.mask_ratio))
+    img0 = jnp.zeros((2, args.input_size, args.input_size, 2))
+    clip0 = jnp.zeros((2, 512))
+    ids0 = jnp.tile(jnp.arange(len_keep)[None], (2, 1))
+    variables = jax.jit(
+        functools.partial(model.init, method=model.forward_query)
+    )(jax.random.key(args.seed), img0, ids0, clip0)
+    params = variables["params"]
+
+    steps_per_epoch = max(len(source) // args.batch_size, 1)
+    lr = args.blr * args.batch_size / 256
+    schedule = cosine_warmup_schedule(
+        lr, args.min_lr, args.warmup_epochs, args.epochs, steps_per_epoch
+    )
+    tx = build_optimizer(params, learning_rate=schedule,
+                         weight_decay=args.weight_decay, betas=(0.9, 0.95),
+                         num_layers=12)
+    queue = None
+    if args.use_queue:
+        queue = (
+            init_sample_queue(jax.random.key(1), 256, args.queue_length),
+            init_sample_queue(jax.random.key(2), 256, args.queue_length),
+        )
+    ema0 = jax.tree.map(lambda x: x, params["encoder"])
+    state = TrainState.create(
+        apply_fn=model.apply, params=params,
+        batch_stats=variables["batch_stats"], tx=tx, queue=queue,
+        ema_params=ema0,
+    )
+    if args.resume:
+        state = restore_checkpoint(args.resume, state)
+
+    step = make_ecdp_step(
+        model, num_patches=num_patches, mask_ratio=args.mask_ratio,
+        use_queue=args.use_queue, total_epochs=args.epochs,
+        steps_per_epoch=steps_per_epoch,
+    )
+    key = jax.random.key(args.seed)
+    start_epoch = int(state.step) // steps_per_epoch
+    for epoch in range(start_epoch, args.epochs):
+        t0 = time.time()
+        pipe = EcdpPretrainPipeline(source, cfg, args.batch_size, train=True,
+                                    seed=args.seed + epoch)
+        state, metrics = train_one_epoch(
+            step=step, state=state, pipeline=pipe,
+            rng_key=jax.random.fold_in(key, epoch), epoch=epoch,
+            print_freq=args.print_freq,
+        )
+        append_log_line(args.output_dir, {
+            "epoch": epoch,
+            **{f"train_{k}": v for k, v in metrics.items()},
+            "epoch_time_s": round(time.time() - t0, 2),
+        })
+        if (epoch + 1) % args.save_model_freq == 0 or epoch + 1 == args.epochs:
+            print(f"saved {save_checkpoint(args.output_dir, state)}")
+    return state

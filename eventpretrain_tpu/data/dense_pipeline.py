@@ -1,0 +1,360 @@
+"""Dense-task input pipelines: DSEC / DDD17 semseg, MVSEC flow.
+
+TPU-native counterparts of reference dataset/finetune_semseg/ft_dsec_dataset.py,
+ft_ddd17_dataset.py and dataset/finetune_flow/ft_mvsec_dataset.py: the host
+side streams events out of HDF5/memmap storage with fixed-count backward
+windows from label timestamps and rectification; rasterization and the
+seed-coupled event/label view augmentation run as one jitted device program
+(shared ViewParams replace seed replay, reference ft_dsec_dataset.py:193-278).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+import os
+from typing import Iterator, Optional, Protocol
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from eventpretrain_tpu.data.event_transforms import (
+    erase_and_add_events,
+    pad_events,
+)
+from eventpretrain_tpu.ops.view_augment import (
+    ViewParams,
+    sample_view_params,
+    identity_view_params,
+    apply_view_augment,
+    apply_semseg_label_augment,
+    apply_flow_label_augment,
+    apply_flow_valid_augment,
+)
+
+
+class DenseSource(Protocol):
+    def __len__(self) -> int: ...
+
+    def load(self, index: int) -> dict:
+        """{'events': (N,4) xytp, 'label': (H,W) int} or
+        {'events', 'flow': (H,W,2), 'valid': (H,W)}."""
+        ...
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseDataConfig:
+    task: str                      # 'semseg' | 'flow'
+    num_bins: int = 5
+    input_size: int = 224
+    fix_events_num: int = 200_000
+    val_fix_events_num: int = 200_000
+    sensor_height: int = 440
+    sensor_width: int = 640
+    crop_min: float = 0.8
+    stream_augment: bool = True
+    label_size: Optional[tuple[int, int]] = None  # None = input_size
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_bins", "height", "width", "out_size", "task",
+                     "label_h", "label_w"),
+)
+def _device_preprocess(
+    events, counts, labels, valid, params: ViewParams, *,
+    num_bins: int, height: int, width: int, out_size: int, task: str,
+    label_h: int, label_w: int,
+):
+    from eventpretrain_tpu.data.representations import build_representation
+
+    evg = build_representation(
+        events, counts, num_bins=num_bins, height=height, width=width
+    )
+    evg = apply_view_augment(
+        evg, params, (out_size, out_size), "nearest",
+        negate_on_tflip=num_bins in (5, 6),
+    )
+    out = {"evg": evg}
+    if task == "semseg":
+        out["label"] = apply_semseg_label_augment(
+            labels, params, (label_h, label_w)
+        ).astype(jnp.int32)
+    else:
+        out["flow"] = apply_flow_label_augment(
+            labels, params, (label_h, label_w)
+        )
+        out["valid"] = apply_flow_valid_augment(
+            valid, params, (label_h, label_w)
+        )
+    return out
+
+
+class DensePipeline:
+    def __init__(self, source: DenseSource, cfg: DenseDataConfig,
+                 batch_size: int, train: bool, seed: int = 0):
+        self.source = source
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.train = train
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return max(len(self.source) // self.batch_size, 1)
+
+    def __iter__(self) -> Iterator[dict]:
+        cfg = self.cfg
+        order = np.arange(len(self.source))
+        if self.train:
+            self.rng.shuffle(order)
+        bs = self.batch_size
+        cap = cfg.fix_events_num if self.train else cfg.val_fix_events_num
+        label_hw = cfg.label_size or (cfg.input_size, cfg.input_size)
+        for b in range(len(self)):
+            idx = order[b * bs : (b + 1) * bs]
+            if len(idx) < bs:
+                idx = np.concatenate([idx, order[: bs - len(idx)]])
+            evs, counts, labels, valids = [], [], [], []
+            for i in idx:
+                item = self.source.load(int(i))
+                events = np.asarray(item["events"], np.float64)
+                if self.train and cfg.stream_augment and events.shape[0] > 0:
+                    events = erase_and_add_events(
+                        self.rng, events, (cfg.sensor_height, cfg.sensor_width)
+                    )
+                arr, count = pad_events(events.astype(np.float32), cap)
+                evs.append(arr)
+                counts.append(count)
+                if cfg.task == "semseg":
+                    labels.append(np.asarray(item["label"], np.int32))
+                else:
+                    labels.append(np.asarray(item["flow"], np.float32))
+                    valids.append(np.asarray(item["valid"], np.float32))
+            if self.train:
+                params = sample_view_params(
+                    self.rng, len(idx), cfg.sensor_height, cfg.sensor_width,
+                    scale_min=cfg.crop_min,
+                )
+            else:
+                params = identity_view_params(
+                    len(idx), cfg.sensor_height, cfg.sensor_width
+                )
+            labels_arr = jnp.asarray(np.stack(labels))
+            valid_arr = (
+                jnp.asarray(np.stack(valids)) if valids else jnp.zeros(())
+            )
+            yield _device_preprocess(
+                jnp.asarray(np.stack(evs)),
+                jnp.asarray(np.stack(counts)),
+                labels_arr,
+                valid_arr,
+                params,
+                num_bins=cfg.num_bins,
+                height=cfg.sensor_height,
+                width=cfg.sensor_width,
+                out_size=cfg.input_size,
+                task=cfg.task,
+                label_h=label_hw[0],
+                label_w=label_hw[1],
+            )
+
+
+class DsecSource:
+    """DSEC semantic-segmentation sequence reader.
+
+    Streams events from ``events/left/events.h5`` keeping handles open,
+    resolves label timestamps via the ``ms_to_idx`` table with binary-search
+    end refinement, takes a fixed-count backward window, rectifies event
+    coordinates through ``rectify_map.h5`` and drops out-of-bounds events
+    (parity with reference ft_dsec_dataset.py:87-226; labels are every other
+    timestamp, index*2, ft_dsec_dataset.py:195).
+    """
+
+    TRAIN_SEQUENCES = [
+        "zurich_city_00_a", "zurich_city_01_a", "zurich_city_02_a",
+        "zurich_city_04_a", "zurich_city_05_a", "zurich_city_06_a",
+        "zurich_city_07_a", "zurich_city_08_a",
+    ]
+    VAL_SEQUENCES = ["zurich_city_13_a", "zurich_city_14_c", "zurich_city_15_a"]
+
+    def __init__(self, root: str, sequences: list[str],
+                 fix_events_num: int = 200_000,
+                 sensor_hw: tuple[int, int] = (440, 640),
+                 org_sensor_hw: tuple[int, int] = (480, 640),
+                 remove_time_window_ms: int = 250,
+                 labels_dirname: str = "semantic/left/11classes"):
+        import h5py  # hdf5plugin optional; required for compressed files
+
+        try:
+            import hdf5plugin  # noqa: F401
+        except ImportError:
+            pass
+        self.sensor_hw = sensor_hw
+        self.org_sensor_hw = org_sensor_hw
+        self.fix_events_num = fix_events_num
+        self.items: list[tuple[int, int]] = []  # (seq_idx, label_idx)
+        self.seqs = []
+        for seq in sequences:
+            path = os.path.join(root, seq)
+            label_dir = os.path.join(path, labels_dirname)
+            ts = np.loadtxt(
+                os.path.join(path, "semantic", "left", "timestamps.txt"),
+                dtype=np.int64,
+            )
+            labels = sorted(
+                f for f in os.listdir(label_dir) if f.endswith(".png")
+            )
+            skip = (remove_time_window_ms // 100 + 1) * 2
+            ts = ts[skip:]
+            labels = labels[skip:]
+            h5 = h5py.File(
+                os.path.join(path, "events", "left", "events.h5"), "r"
+            )
+            ev = {k: h5[f"events/{k}"] for k in ("p", "x", "y", "t")}
+            t_offset = int(h5["t_offset"][()]) if "t_offset" in h5 else 0
+            ms_to_idx = np.asarray(h5["ms_to_idx"], np.int64)
+            import h5py as _h5
+
+            rect = _h5.File(
+                os.path.join(path, "events", "left", "rectify_map.h5"), "r"
+            )["rectify_map"][()]
+            seq_idx = len(self.seqs)
+            self.seqs.append(
+                dict(events=ev, t_offset=t_offset, ms_to_idx=ms_to_idx,
+                     rectify=rect, timestamps=ts,
+                     labels=[os.path.join(label_dir, f) for f in labels])
+            )
+            for li in range(len(ts) // 2):
+                self.items.append((seq_idx, li))
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def _event_end_index(self, seq, t_end_us: int) -> int:
+        """ms_to_idx lookup + exact refinement (ft_dsec_dataset.py:152-183)."""
+        t_end_us -= seq["t_offset"]
+        lo_ms = math.floor(t_end_us / 1000)
+        hi_ms = math.ceil(t_end_us / 1000)
+        lo = int(seq["ms_to_idx"][lo_ms])
+        hi = int(seq["ms_to_idx"][hi_ms])
+        if lo == hi:
+            return lo
+        t_slice = np.asarray(seq["events"]["t"][lo:hi])
+        return lo + int(np.searchsorted(t_slice, t_end_us, side="left"))
+
+    def load(self, index: int) -> dict:
+        from PIL import Image
+
+        seq_idx, li = self.items[index]
+        seq = self.seqs[seq_idx]
+        ts_end = int(seq["timestamps"][li * 2])
+        end = self._event_end_index(seq, ts_end)
+        start = max(end - self.fix_events_num, 0)
+        x = np.asarray(seq["events"]["x"][start:end], np.int64)
+        y = np.asarray(seq["events"]["y"][start:end], np.int64)
+        t = np.asarray(seq["events"]["t"][start:end], np.float64)
+        p = np.asarray(seq["events"]["p"][start:end], np.float64)
+
+        xy_rect = seq["rectify"][y, x]
+        x_r, y_r = xy_rect[:, 0], xy_rect[:, 1]
+        h, w = self.sensor_hw
+        keep = (x_r >= 0) & (x_r < w) & (y_r >= 0) & (y_r < h)
+        events = np.stack(
+            [x_r[keep], y_r[keep], t[keep], p[keep]], axis=-1
+        )
+        label = np.array(Image.open(seq["labels"][li * 2]), np.int32)
+        return {"events": events, "label": label}
+
+
+class Ddd17Source:
+    """DDD17 semseg reader: int64/int16 memmaps + 50ms index table
+    (parity with reference ft_ddd17_dataset.py:60-127)."""
+
+    def __init__(self, root: str, sequences: list[str],
+                 fix_events_num: int = 80_000, extra: int = 10_000,
+                 sensor_hw: tuple[int, int] = (200, 346),
+                 labels_dirname: str = "segmentation_masks"):
+        self.sensor_hw = sensor_hw
+        self.fix_events_num = fix_events_num
+        self.extra = extra
+        self.items = []
+        self.seqs = []
+        for seq in sequences:
+            path = os.path.join(root, seq)
+            t_map = np.memmap(
+                os.path.join(path, "events.dat.t"), dtype=np.int64, mode="r"
+            )
+            xyp_map = np.memmap(
+                os.path.join(path, "events.dat.xyp"), dtype=np.int16, mode="r"
+            ).reshape(-1, 3)
+            index = np.load(os.path.join(path, "index_50ms.npy"))
+            label_dir = os.path.join(path, labels_dirname)
+            labels = sorted(
+                f for f in os.listdir(label_dir) if f.endswith(".png")
+            )
+            seq_idx = len(self.seqs)
+            self.seqs.append(
+                dict(t=t_map, xyp=xyp_map, index=index,
+                     labels=[os.path.join(label_dir, f) for f in labels])
+            )
+            for li in range(len(labels)):
+                self.items.append((seq_idx, li))
+
+    def __len__(self):
+        return len(self.items)
+
+    def load(self, index: int) -> dict:
+        from PIL import Image
+
+        seq_idx, li = self.items[index]
+        seq = self.seqs[seq_idx]
+        end = int(seq["index"][li])
+        start = max(end - self.fix_events_num - self.extra, 0)
+        t = np.asarray(seq["t"][start:end], np.float64)
+        xyp = np.asarray(seq["xyp"][start:end], np.float64)
+        events = np.stack([xyp[:, 0], xyp[:, 1], t, xyp[:, 2]], axis=-1)
+        events = events[-self.fix_events_num:]
+        label = np.array(Image.open(seq["labels"][li]), np.int32)
+        return {"events": events, "label": label}
+
+
+class SyntheticDenseSource:
+    """Synthetic events + labels for smoke training (semseg or flow)."""
+
+    def __init__(self, task: str, n: int = 16, num_classes: int = 6,
+                 sensor_hw: tuple[int, int] = (64, 64),
+                 num_events: int = 4000, seed: int = 0):
+        self.task = task
+        self.n = n
+        self.num_classes = num_classes
+        self.sensor_hw = sensor_hw
+        self.num_events = num_events
+        self.seed = seed
+
+    def __len__(self):
+        return self.n
+
+    def load(self, index: int) -> dict:
+        rng = np.random.default_rng(self.seed + index)
+        h, w = self.sensor_hw
+        # events concentrated in one quadrant; label marks that quadrant
+        qy, qx = rng.integers(0, 2), rng.integers(0, 2)
+        y = rng.uniform(qy * h / 2, (qy + 1) * h / 2, self.num_events)
+        x = rng.uniform(qx * w / 2, (qx + 1) * w / 2, self.num_events)
+        t = np.sort(rng.uniform(0, 1, self.num_events))
+        p = rng.integers(0, 2, self.num_events)
+        events = np.stack([x, y, t, p], 1)
+        yy, xx = np.mgrid[0:h, 0:w]
+        region = ((yy >= qy * h / 2) & (yy < (qy + 1) * h / 2)
+                  & (xx >= qx * w / 2) & (xx < (qx + 1) * w / 2))
+        if self.task == "semseg":
+            label = np.where(region, (qy * 2 + qx) + 1, 0).astype(np.int32)
+            return {"events": events, "label": label}
+        flow = np.zeros((h, w, 2), np.float32)
+        flow[region] = [qx * 2 - 1, qy * 2 - 1]
+        return {
+            "events": events, "flow": flow,
+            "valid": np.ones((h, w), np.float32),
+        }

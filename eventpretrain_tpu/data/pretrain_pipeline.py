@@ -1,0 +1,295 @@
+"""Pretrain input pipeline (EF-ImageNet-format precomputed tensors).
+
+Equivalent of reference dataset/pretrain/pr_ef_imagenet_dataset.py:120-244:
+per-image directories hold precomputed noisy/clean event voxel grids,
+temporal-difference sub-frames, and CLIP embeddings. The host loads arrays
+and samples one coupled ViewParams per sample; crop/resize/flip/time-flip of
+the grid (nearest) and sub-frame (bicubic, sign-flipped on time-flip) run as
+one jitted batched device program — the reference's seed-replay coupling
+(pr_ef_imagenet_dataset.py:187-206) becomes shared params.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import re
+from typing import Iterator, Optional, Protocol
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from eventpretrain_tpu.ops.view_augment import (
+    ViewParams,
+    sample_view_params,
+    identity_view_params,
+    apply_view_augment,
+    apply_frame_augment,
+)
+
+
+class PretrainSource(Protocol):
+    def __len__(self) -> int: ...
+
+    def load(self, index: int) -> dict:
+        """Returns {'evg': (H,W,bins), 'frame': (H,W,1)?, 'clip_emb': (L,512)?}."""
+        ...
+
+
+@dataclasses.dataclass(frozen=True)
+class PretrainDataConfig:
+    pr_phase: str = "rec"           # rec | adj | con | rec+con
+    num_bins: int = 5
+    input_size: int = 224
+    crop_min: float = 0.8
+    frame_chans: int = 1
+
+
+@functools.partial(jax.jit, static_argnames=("out_size", "negate"))
+def _augment_evg(evg, params, *, out_size: int, negate: bool):
+    return apply_view_augment(
+        evg, params, (out_size, out_size), "nearest", negate_on_tflip=negate
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("out_size",))
+def _augment_frame(frames, params, *, out_size: int):
+    return apply_frame_augment(frames, params, (out_size, out_size), "bicubic")
+
+
+class PretrainPipeline:
+    """Yields batches {'evg', 'frame'?, 'clip_emb'?} ready for the step fns."""
+
+    def __init__(
+        self,
+        source: PretrainSource,
+        cfg: PretrainDataConfig,
+        batch_size: int,
+        train: bool = True,
+        seed: int = 0,
+    ):
+        self.source = source
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.train = train
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return len(self.source) // self.batch_size
+
+    def __iter__(self) -> Iterator[dict]:
+        cfg = self.cfg
+        order = np.arange(len(self.source))
+        if self.train:
+            self.rng.shuffle(order)
+        bs = self.batch_size
+        need_frame = cfg.pr_phase in ("rec", "rec+con")
+        need_clip = cfg.pr_phase in ("adj", "con", "rec+con")
+        for b in range(len(self)):
+            idx = order[b * bs : (b + 1) * bs]
+            evgs, frames, clips = [], [], []
+            for i in idx:
+                item = self.source.load(int(i))
+                evg = np.asarray(item["evg"], np.float32)
+                if cfg.num_bins == 1:
+                    evg = evg.sum(axis=-1, keepdims=True)
+                evgs.append(evg)
+                if need_frame:
+                    frames.append(np.asarray(item["frame"], np.float32))
+                if need_clip:
+                    clips.append(np.asarray(item["clip_emb"], np.float32))
+            evg = jnp.asarray(np.stack(evgs))
+            h, w = evg.shape[1], evg.shape[2]
+            if self.train:
+                params = sample_view_params(
+                    self.rng, len(idx), h, w, scale_min=cfg.crop_min
+                )
+            else:
+                params = identity_view_params(len(idx), h, w)
+            batch = {
+                "evg": _augment_evg(
+                    evg, params, out_size=cfg.input_size,
+                    negate=cfg.num_bins in (5, 6),
+                )
+            }
+            if need_frame:
+                batch["frame"] = _augment_frame(
+                    jnp.asarray(np.stack(frames)), params,
+                    out_size=cfg.input_size,
+                )
+            if need_clip:
+                batch["clip_emb"] = jnp.asarray(np.stack(clips))
+            yield batch
+
+
+def _load_tensor(path: str) -> np.ndarray:
+    if path.endswith(".pt"):
+        import torch
+
+        return torch.load(path, map_location="cpu", weights_only=False).numpy()
+    return np.load(path)
+
+
+class EFImageNetSource:
+    """Reference EF-ImageNet layout (pr_ef_imagenet_dataset.py:120-182):
+
+    root/<class>/<image>/{<noisy_dir>/<image>_0K_noisy_events_voxel_grid.pt,
+                          <sub_frames_dir>/<image>_0K_sub_frame.pt,
+                          <image>_clip_emb.pt}
+    Tensors stored CHW are transposed to channels-last.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        pr_phase: str = "rec",
+        noisy_events_dir: str = "events/noisy",
+        sub_frames_dir: str = "sub_frames",
+        num_frames: int = 10,
+        seed: int = 0,
+    ):
+        self.root = root
+        self.pr_phase = pr_phase
+        self.noisy_events_dir = noisy_events_dir
+        self.sub_frames_dir = sub_frames_dir
+        self.num_frames = num_frames
+        self.rng = np.random.default_rng(seed)
+        self.items: list[tuple[str, str]] = []  # (class_dir, image_name)
+        for cls in sorted(os.listdir(root)):
+            for image_name in sorted(os.listdir(os.path.join(root, cls))):
+                self.items.append((cls, image_name))
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    @staticmethod
+    def _to_hwc(arr: np.ndarray) -> np.ndarray:
+        # stored (C,H,W) with small C
+        if arr.ndim == 3 and arr.shape[0] < arr.shape[-1]:
+            return arr.transpose(1, 2, 0)
+        return arr
+
+    def load(self, index: int) -> dict:
+        cls, image_name = self.items[index]
+        base = os.path.join(self.root, cls, image_name)
+        frame_index = int(self.rng.integers(0, self.num_frames))
+        evg = _load_tensor(
+            os.path.join(
+                base, self.noisy_events_dir,
+                f"{image_name}_0{frame_index}_noisy_events_voxel_grid.pt",
+            )
+        )
+        out = {"evg": self._to_hwc(evg)}
+        if self.pr_phase in ("rec", "rec+con"):
+            frame = _load_tensor(
+                os.path.join(
+                    base, self.sub_frames_dir,
+                    f"{image_name}_0{frame_index}_sub_frame.pt",
+                )
+            )
+            out["frame"] = self._to_hwc(frame)
+        if self.pr_phase in ("adj", "con", "rec+con"):
+            clip = _load_tensor(os.path.join(base, f"{image_name}_clip_emb.pt"))
+            out["clip_emb"] = np.squeeze(clip)
+        return out
+
+
+class SyntheticPretrainSource:
+    """Structured synthetic voxel grids + difference frames for smoke runs.
+
+    The sub-frame is a deterministic function of the grid (per-pixel net
+    polarity), so the reconstruction loss has learnable signal.
+    """
+
+    def __init__(self, n: int = 64, size: int = 224, num_bins: int = 5,
+                 clip_dim: int = 512, clip_tokens: int = 197, seed: int = 0):
+        self.n = n
+        self.size = size
+        self.num_bins = num_bins
+        self.clip_dim = clip_dim
+        self.clip_tokens = clip_tokens
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.n
+
+    def load(self, index: int) -> dict:
+        rng = np.random.default_rng(self.seed + index)
+        s = self.size
+        # a few gaussian blobs of signed events
+        evg = np.zeros((s, s, self.num_bins), np.float32)
+        yy, xx = np.mgrid[0:s, 0:s]
+        for _ in range(4):
+            cy, cx = rng.uniform(0.2 * s, 0.8 * s, 2)
+            sig = rng.uniform(0.03 * s, 0.1 * s)
+            blob = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * sig ** 2))
+            sign = rng.choice([-1.0, 1.0])
+            for c in range(self.num_bins):
+                evg[..., c] += sign * blob * rng.uniform(0.5, 1.5)
+        frame = evg.sum(axis=-1, keepdims=True) / self.num_bins
+        clip = rng.normal(size=(self.clip_tokens, self.clip_dim)).astype(
+            np.float32
+        )
+        return {"evg": evg, "frame": frame, "clip_emb": clip}
+
+
+class EcdpPretrainPipeline:
+    """Two independently-augmented views + CLIP cls embedding.
+
+    Equivalent of reference PretrainECDPEFImageNetDataset
+    (pr_ef_imagenet_dataset.py:246-298): q/k views of the same grid with
+    independent crop/flip draws; clip_emb is the CLS token (B, 512).
+    """
+
+    def __init__(self, source, cfg: PretrainDataConfig, batch_size: int,
+                 train: bool = True, seed: int = 0):
+        self.source = source
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.train = train
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.source) // self.batch_size
+
+    def __iter__(self):
+        cfg = self.cfg
+        order = np.arange(len(self.source))
+        if self.train:
+            self.rng.shuffle(order)
+        bs = self.batch_size
+        for b in range(len(self)):
+            idx = order[b * bs : (b + 1) * bs]
+            evgs, clips = [], []
+            for i in idx:
+                item = self.source.load(int(i))
+                evgs.append(np.asarray(item["evg"], np.float32))
+                clip = np.asarray(item["clip_emb"], np.float32)
+                clips.append(clip[0] if clip.ndim == 2 else clip)
+            evg = jnp.asarray(np.stack(evgs))
+            h, w = evg.shape[1], evg.shape[2]
+            negate = cfg.num_bins in (5, 6)
+            views = []
+            for _ in range(2):
+                params = (
+                    sample_view_params(self.rng, len(idx), h, w,
+                                       scale_min=cfg.crop_min)
+                    if self.train else identity_view_params(len(idx), h, w)
+                )
+                views.append(
+                    _augment_evg(evg, params, out_size=cfg.input_size,
+                                 negate=negate)
+                )
+            # per-image normalization x/(amax+1), (x-0.5)*2 (reference
+            # pr_n_imagenet_dataset.py:125-181 ECDP variant)
+            def norm(v):
+                amax = v.max(axis=(1, 2), keepdims=True)
+                return (v / (amax + 1.0) - 0.5) * 2.0
+
+            yield {
+                "img_q": norm(views[0]),
+                "img_k": norm(views[1]),
+                "clip_emb": jnp.asarray(np.stack(clips)),
+            }

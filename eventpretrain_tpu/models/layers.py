@@ -187,7 +187,10 @@ class PatchEmbed(nn.Module):
             name="proj",
         )(x)
         if self.use_norm_act:
-            x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+            # eps=1e-5 matches torch nn.LayerNorm's default (reference
+            # vit_block.py:57 uses the default); on all-zero event patches
+            # the LN backward scales by 1/sqrt(eps), so eps matters.
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
             x = nn.gelu(x, approximate=False)
         return x
 
@@ -234,9 +237,11 @@ class ProjectorMlp(nn.Module):
                     use_running_average=not train,
                     axis=-1,
                     axis_name=None,
-                    dtype=self.dtype,
+                    dtype=jnp.float32,
                     name=f"bn{layer}",
-                )(x.reshape(-1, x.shape[-1])).reshape(x.shape)
+                )(x.reshape(-1, x.shape[-1])).reshape(x.shape).astype(
+                    self.dtype
+                )
                 x = nn.relu(x)
             elif self.last_bn:
                 x = nn.BatchNorm(
@@ -244,7 +249,9 @@ class ProjectorMlp(nn.Module):
                     use_bias=False,
                     use_scale=False,
                     axis=-1,
-                    dtype=self.dtype,
+                    dtype=jnp.float32,
                     name=f"bn{layer}",
-                )(x.reshape(-1, x.shape[-1])).reshape(x.shape)
+                )(x.reshape(-1, x.shape[-1])).reshape(x.shape).astype(
+                    self.dtype
+                )
         return x

@@ -82,15 +82,26 @@ class PrHub(nn.Module):
         ids_keep: jax.Array,
         ids_restore: jax.Array,
         deterministic: bool = True,
+        mask: Optional[jax.Array] = None,
+        plans: Any = None,
     ):
         """Masked encode + reconstruction prediction (stage 1).
 
         Returns (pred, emb_l1, emb_l2, emb_lh); the loss is
         ``objectives.reconstruct_loss`` (reference pr_hub_model.py:190-206).
+        ``mask`` (full binary mask, 0=keep) is required by conv-stage
+        backbones (ConvViT) and ignored by ViT. ``plans`` (host-built device
+        plans) selects the sparse-Swin path.
         """
-        emb_l1, emb_l2, emb_lh = self.backbone.encode_masked(
-            evg, ids_keep, deterministic
-        )
+        if plans is not None:
+            outs, emb_lh = self.backbone.encode_masked(
+                evg, ids_keep, plans, deterministic
+            )
+            emb_l1, emb_l2 = outs[0], outs[1]
+        else:
+            emb_l1, emb_l2, emb_lh = self.backbone.encode_masked(
+                evg, ids_keep, deterministic, mask
+            )
         pred = self.decoder(emb_lh, ids_restore, deterministic)
         return pred, emb_l1, emb_l2, emb_lh
 
@@ -159,3 +170,60 @@ def pretrain_hub_base(num_bins: int = 5, mask_ratio: float = 0.75,
     )
     return PrHub(backbone=backbone, decoder=decoder, embed_dim=768,
                  num_patches=196, dtype=dtype)
+
+
+def pretrain_hub_convvit_small(num_bins: int = 5, mask_ratio: float = 0.75,
+                               frame_chans: int = 1, with_decoder: bool = True,
+                               dtype: Any = jnp.float32, **bk) -> PrHub:
+    """ConvViT-small hub (reference pr_hub_model.py:45-61 + 262-267)."""
+    from eventpretrain_tpu.models.convvit import convvit_small_patch16
+
+    backbone = convvit_small_patch16(
+        num_bins=num_bins, with_rec_decoders=with_decoder, dtype=dtype,
+        name="backbone", **bk,
+    )
+    decoder = (
+        rec_decoder_small_patch16(frame_chans=frame_chans, dtype=dtype,
+                                  name="pretrain_rec_decoder")
+        if with_decoder else None
+    )
+    return PrHub(backbone=backbone, decoder=decoder, embed_dim=384,
+                 num_patches=196, dtype=dtype)
+
+
+def pretrain_hub_convvit_base(num_bins: int = 5, mask_ratio: float = 0.75,
+                              frame_chans: int = 1, with_decoder: bool = True,
+                              dtype: Any = jnp.float32, **bk) -> PrHub:
+    from eventpretrain_tpu.models.convvit import convvit_base_patch16
+
+    backbone = convvit_base_patch16(
+        num_bins=num_bins, with_rec_decoders=with_decoder, dtype=dtype,
+        name="backbone", **bk,
+    )
+    decoder = (
+        rec_decoder_base_patch16(frame_chans=frame_chans, dtype=dtype,
+                                 name="pretrain_rec_decoder")
+        if with_decoder else None
+    )
+    return PrHub(backbone=backbone, decoder=decoder, embed_dim=768,
+                 num_patches=196, dtype=dtype)
+
+
+def pretrain_hub_swin(num_bins: int = 5, mask_ratio: float = 0.5,
+                      frame_chans: int = 1, with_decoder: bool = True,
+                      dtype: Any = jnp.float32, **bk) -> PrHub:
+    """Swin-tiny hub (reference pretrain_hub_model_swin_tiny_patch16,
+    pr_hub_model.py:269-274): 49 patches of 32px, conv clip projection."""
+    from eventpretrain_tpu.models.swin import swin_tiny_window7
+
+    backbone = swin_tiny_window7(
+        num_bins=num_bins, with_rec_decoders=with_decoder, dtype=dtype,
+        name="backbone", **bk,
+    )
+    decoder = (
+        rec_decoder_swin_tiny_patch32(frame_chans=frame_chans, dtype=dtype,
+                                      name="pretrain_rec_decoder")
+        if with_decoder else None
+    )
+    return PrHub(backbone=backbone, decoder=decoder, embed_dim=768,
+                 num_patches=49, clip_proj_conv=True, dtype=dtype)

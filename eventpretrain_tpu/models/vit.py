@@ -104,6 +104,7 @@ class ViT(nn.Module):
         x: jax.Array,
         ids_keep: jax.Array,
         deterministic: bool = True,
+        mask: jax.Array | None = None,  # unused; ConvViT needs it
     ):
         """Visible-token encoding. x: (B, H, W, num_bins); ids_keep: (B, K).
 

@@ -166,7 +166,7 @@ def build_optimizer(
     """
     chain = []
     if clip_grad is not None:
-        chain.append(optax.clip_by_global_norm(clip_grad))
+        chain.append(clip_by_safe_global_norm(clip_grad))
     chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=1e-8))
     if weight_decay:
         chain.append(
@@ -197,5 +197,36 @@ def build_optimizer(
 
 
 def global_grad_norm(grads: Any) -> jax.Array:
-    """Grad-norm metric (reference misc.py:303-315)."""
-    return optax.global_norm(grads)
+    """Overflow-safe grad-norm metric (reference misc.py:303-315).
+
+    Early-training gradients through LayerNorms over all-zero event patches
+    reach ~1e19 (inherent to the architecture on sparse inputs; the reference
+    hides it behind AMP's GradScaler); naive sum-of-squares overflows f32, so
+    the norm is computed on leaves pre-scaled by the global max-abs.
+    """
+    leaves = jax.tree.leaves(grads)
+    if not leaves:
+        return jnp.zeros(())
+    max_abs = jnp.maximum(
+        jnp.stack([jnp.abs(x).max() for x in leaves]).max(), 1e-30
+    ).astype(jnp.float32)
+    sq = sum(
+        ((x.astype(jnp.float32) / max_abs) ** 2).sum() for x in leaves
+    )
+    return max_abs * jnp.sqrt(sq)
+
+
+def clip_by_safe_global_norm(max_norm: float) -> optax.GradientTransformation:
+    """clip_by_global_norm with the overflow-safe norm."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        norm = global_grad_norm(updates)
+        scale = jnp.where(norm > max_norm, max_norm / norm, 1.0)
+        return jax.tree.map(lambda u: u * scale, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)

@@ -52,6 +52,7 @@ def make_rec_step(
             ids_keep,
             ids_restore,
             deterministic=False,
+            mask=mask,
             method=hub.forward_rec,
             rngs={"dropout": rng_drop},
         )
@@ -152,6 +153,7 @@ def make_rec_and_con_step(
             ids_keep,
             ids_restore,
             deterministic=False,
+            mask=mask,
             method=hub.forward_rec,
             rngs={"dropout": rng_drop},
         )
@@ -252,5 +254,339 @@ def make_cls_eval_step(hub) -> Callable:
             ),
         }
         return metrics
+
+    return step
+
+
+def make_swin_rec_step(
+    hub,
+    *,
+    cell_grid: int = 7,
+    mask_ratio: float = 0.5,
+    decoder_patch_size: int = 32,
+    norm_pix_loss: bool = True,
+    input_resolution: int = 56,
+    window_size: int = 7,
+) -> Callable:
+    """Stage-1 masked-modeling step for the sparse Swin backbone.
+
+    The mask is shared across the batch (reference swin.py:158) and the
+    grouping/merging plans are integer work, so both are computed on host
+    per step (models/swin_plan.py); the jitted inner step takes them as
+    static-shape inputs. Plans are bucketed so only a handful of group-count
+    variants ever compile.
+    """
+    import numpy as np
+
+    from eventpretrain_tpu.models.swin import plans_to_device
+    from eventpretrain_tpu.models.swin_plan import build_swin_plans
+
+    num_cells = cell_grid ** 2
+    len_keep = int(num_cells * (1 - mask_ratio))
+
+    @jax.jit
+    def inner(state: TrainState, batch, plans, ids_keep, mask, ids_restore,
+              rng):
+        def loss_fn(params):
+            pred, *_ = state.apply_fn(
+                {"params": params},
+                batch["evg"],
+                ids_keep,
+                ids_restore,
+                deterministic=False,
+                plans=plans,
+                method=hub.forward_rec,
+                rngs={"dropout": rng},
+            )
+            return reconstruct_loss(
+                pred, batch["frame"], mask,
+                patch_size=decoder_patch_size,
+                norm_pix_loss=norm_pix_loss, mask_ratio=mask_ratio,
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        new_state = state.apply_gradients(grads)
+        return new_state, {"loss": loss, "grad_norm": global_grad_norm(grads)}
+
+    def step(state: TrainState, batch, rng):
+        batch_size = batch["evg"].shape[0]
+        seed = int(jax.random.randint(rng, (), 0, 2 ** 31 - 1))
+        host_rng = np.random.default_rng(seed)
+        noise = host_rng.random(num_cells)
+        ids_shuffle = np.argsort(noise)
+        ids_restore_np = np.argsort(ids_shuffle)
+        ids_keep_np = ids_shuffle[:len_keep]
+        mask_np = np.ones(num_cells, np.float32)
+        mask_np[ids_keep_np] = 0.0
+        plans = plans_to_device(
+            build_swin_plans(
+                mask_np.astype(bool),
+                input_resolution=(input_resolution, input_resolution),
+                window_size=window_size,
+                cell_grid=cell_grid,
+            )
+        )
+        tile = lambda a: jnp.asarray(np.tile(a[None], (batch_size, 1)))
+        return inner(
+            state, batch, plans,
+            tile(ids_keep_np.astype(np.int32)),
+            tile(mask_np),
+            tile(ids_restore_np.astype(np.int32)),
+            rng,
+        )
+
+    return step
+
+
+def make_semseg_train_step(
+    hub, *, num_classes: int, ignore_index=None,
+    w_decode: float = 1.0, w_aux: float = 0.4, sample_mode: str = "bilinear",
+) -> Callable:
+    """Semantic-segmentation finetune step (reference
+    ft_semseg_trainer.py:14-118): predictions resized to label resolution,
+    loss = w_decode*(CE+Dice) + w_aux*(CE+Dice).
+
+    batch = {'evg': (B,H,W,C), 'label': (B,Hl,Wl) int}.
+    """
+    from eventpretrain_tpu.objectives.semseg import semseg_loss
+    from eventpretrain_tpu.ops.reshape import resize
+
+    def loss_fn(params, state: TrainState, batch, rng):
+        variables = {"params": params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        (emb_h, _, decode, aux), updates = state.apply_fn(
+            variables, batch["evg"], train=True,
+            rngs={"dropout": rng}, mutable=["batch_stats"],
+        )
+        label = batch["label"]
+        size = label.shape[1:3]
+        decode = resize(decode, size, sample_mode)
+        aux = resize(aux, size, sample_mode)
+        d_ce, d_dice = semseg_loss(decode, label, num_classes, ignore_index)
+        a_ce, a_dice = semseg_loss(aux, label, num_classes, ignore_index)
+        loss = w_decode * (d_ce + d_dice) + w_aux * (a_ce + a_dice)
+        return loss, (updates.get("batch_stats", {}), d_ce, d_dice)
+
+    @jax.jit
+    def step(state: TrainState, batch, rng):
+        (loss, (stats, d_ce, d_dice)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state, batch, rng)
+        new_state = state.apply_gradients(grads, batch_stats=stats)
+        return new_state, {
+            "loss": loss, "decode_ce": d_ce, "decode_dice": d_dice,
+            "grad_norm": global_grad_norm(grads),
+        }
+
+    return step
+
+
+def make_semseg_eval_step(hub, *, num_classes: int, ignore_label=None,
+                          sample_mode: str = "bilinear") -> Callable:
+    """Returns the per-batch confusion matrix (reference
+    ft_semseg_trainer.py:181-233 + semseg_metric.py); accumulate on host and
+    reduce with eval.metrics.miou_from_confusion."""
+    from eventpretrain_tpu.eval.metrics import confusion_matrix
+    from eventpretrain_tpu.ops.reshape import resize
+
+    @jax.jit
+    def step(state: TrainState, batch):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        _, _, decode, _ = state.apply_fn(
+            variables, batch["evg"], train=False
+        )
+        label = batch["label"]
+        decode = resize(decode, label.shape[1:3], sample_mode)
+        pred = jnp.argmax(decode, axis=-1)
+        return confusion_matrix(pred, label, num_classes, ignore_label)
+
+    return step
+
+
+def make_flow_train_step(
+    hub, *, max_flow: float = 400.0,
+    w_decode: float = 1.0, w_aux: float = 0.4, sample_mode: str = "bilinear",
+) -> Callable:
+    """Optical-flow finetune step (reference ft_flow_trainer.py:14-118).
+
+    batch = {'evg', 'flow': (B,Hl,Wl,2), 'valid': (B,Hl,Wl)}.
+    """
+    from eventpretrain_tpu.objectives.flow import flow_l1_loss
+    from eventpretrain_tpu.ops.reshape import resize_flow
+
+    def loss_fn(params, state: TrainState, batch, rng):
+        variables = {"params": params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        (emb_h, _, decode, aux), updates = state.apply_fn(
+            variables, batch["evg"], train=True,
+            rngs={"dropout": rng}, mutable=["batch_stats"],
+        )
+        size = batch["flow"].shape[1:3]
+        decode = resize_flow(decode, size, sample_mode)
+        aux = resize_flow(aux, size, sample_mode)
+        d_l1 = flow_l1_loss(decode, batch["flow"], batch["valid"], max_flow)
+        a_l1 = flow_l1_loss(aux, batch["flow"], batch["valid"], max_flow)
+        loss = w_decode * d_l1 + w_aux * a_l1
+        return loss, (updates.get("batch_stats", {}), d_l1)
+
+    @jax.jit
+    def step(state: TrainState, batch, rng):
+        (loss, (stats, d_l1)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state, batch, rng)
+        new_state = state.apply_gradients(grads, batch_stats=stats)
+        return new_state, {
+            "loss": loss, "decode_l1": d_l1,
+            "grad_norm": global_grad_norm(grads),
+        }
+
+    return step
+
+
+def make_flow_eval_step(hub, *, sample_mode: str = "bilinear") -> Callable:
+    """Per-batch (sum_epe, sum_outlier_flags, count) over the sparse mask
+    (reference ft_flow_trainer.py:163-271 + flow_metric.py): valid pixels
+    require gt validity AND per-pixel event presence (||voxel_org|| > 0)."""
+    from eventpretrain_tpu.ops.reshape import resize_flow
+
+    @jax.jit
+    def step(state: TrainState, batch):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        _, _, decode, _ = state.apply_fn(
+            variables, batch["evg"], train=False
+        )
+        target = batch["flow"]
+        decode = resize_flow(decode, target.shape[1:3], sample_mode)
+        valid = (batch["valid"] >= 0.5)
+        if "event_mask" in batch:
+            valid = valid & (batch["event_mask"] > 0)
+        w = valid.astype(jnp.float32)
+        epe = jnp.sqrt(((decode - target) ** 2).sum(-1))
+        mag = jnp.sqrt((target ** 2).sum(-1))
+        outlier = ((epe > 3.0) & (epe / jnp.maximum(mag, 1e-12) > 0.05))
+        return {
+            "epe_sum": (epe * w).sum(),
+            "outlier_sum": (outlier.astype(jnp.float32) * w).sum(),
+            "count": w.sum(),
+        }
+
+    return step
+
+
+def make_ecdp_step(
+    model,
+    *,
+    num_patches: int = 196,
+    mask_ratio: float = 0.75,
+    use_queue: bool = False,
+    t_image: float = 0.1,
+    t_event: float = 0.2,
+    lambda_image: float = 1.0,
+    lambda_event: float = 1.0,
+    lambda_kl: float = 2.0,
+    base_ema_momentum: float = 0.99,
+    total_epochs: float = 100.0,
+    steps_per_epoch: int = 1,
+) -> Callable:
+    """ECDP baseline pretrain step (reference pr_ecdp_trainer.py:15-95 +
+    pr_ecdp_hub_model.py:236-274): two independently-masked views, EMA key
+    encoder, image-InfoNCE vs CLIP, event-InfoNCE (no l2, vector-projected
+    onto the clip direction), sinkhorn-KL; cosine EMA momentum schedule.
+
+    batch = {'img_q': (B,H,W,C), 'img_k': (B,H,W,C), 'clip_emb': (B,512)}.
+    state.ema_params holds the encoder subtree; state.queue holds a pair of
+    SampleQueueStates (image, event) when use_queue.
+    """
+    from eventpretrain_tpu.objectives.ecdp import (
+        ema_update,
+        vector_project,
+        sample_infonce_queue,
+        global_sample_infonce,
+        ecdp_kl_loss,
+    )
+    from eventpretrain_tpu.ops.masking import make_mask_from_noise
+
+    len_keep = int(num_patches * (1 - mask_ratio))
+
+    def loss_fn(params, state: TrainState, batch, ema_params, rng):
+        rng_mq, rng_mk, rng_d1, rng_d2 = jax.random.split(rng, 4)
+        b = batch["img_q"].shape[0]
+        ids_keep_q, _, _ = make_mask_from_noise(
+            jax.random.uniform(rng_mq, (b, num_patches)), len_keep
+        )
+        ids_keep_k, _, _ = make_mask_from_noise(
+            jax.random.uniform(rng_mk, (b, num_patches)), len_keep
+        )
+        variables = {"params": params, "batch_stats": state.batch_stats}
+        (q_event, q_image, clip_proj), updates = state.apply_fn(
+            variables, batch["img_q"], ids_keep_q, batch["clip_emb"],
+            train=True, method=model.forward_query,
+            rngs={"dropout": rng_d1}, mutable=["batch_stats"],
+        )
+        # EMA key path: no gradients, batch-stat mutations discarded
+        k_event, _ = state.apply_fn(
+            {"params": {"encoder": ema_params},
+             "batch_stats": state.batch_stats},
+            batch["img_k"], ids_keep_k, train=True,
+            method=model.forward_key,
+            rngs={"dropout": rng_d2}, mutable=["batch_stats"],
+        )
+        k_event = jax.lax.stop_gradient(k_event)
+
+        q_event_p = vector_project(q_event, clip_proj)
+        k_event_p = vector_project(k_event, clip_proj)
+
+        if use_queue:
+            queue_image, queue_event = state.queue
+            loss_image, queue_image = sample_infonce_queue(
+                q_image, clip_proj, queue_image, t_image
+            )
+            loss_event, queue_event = sample_infonce_queue(
+                q_event_p, k_event_p, queue_event, t_event, l2_norm=False
+            )
+            new_queue = (queue_image, queue_event)
+        else:
+            loss_image = global_sample_infonce(q_image, clip_proj, t_image)
+            loss_event = global_sample_infonce(
+                q_event_p, k_event_p, t_event, l2_norm=False
+            )
+            new_queue = state.queue
+        loss_kl = ecdp_kl_loss(q_image, clip_proj, t_image)
+        total = (
+            lambda_image * loss_image
+            + lambda_event * loss_event
+            + lambda_kl * loss_kl
+        )
+        return total, (updates["batch_stats"], new_queue,
+                       loss_image, loss_event, loss_kl)
+
+    @jax.jit
+    def step(state: TrainState, batch, rng):
+        from eventpretrain_tpu.objectives.ecdp import cosine_ema_momentum
+
+        epoch_frac = state.step.astype(jnp.float32) / steps_per_epoch
+        momentum = 1.0 - (1.0 - base_ema_momentum) * (
+            jnp.cos(jnp.pi * epoch_frac / total_epochs) + 1.0
+        ) / 2.0
+        new_ema = ema_update(
+            state.params["encoder"], state.ema_params, momentum
+        )
+        (loss, (stats, new_queue, li, le, lk)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state, batch, new_ema, rng)
+        new_state = state.apply_gradients(
+            grads, batch_stats=stats, queue=new_queue, ema_params=new_ema
+        )
+        return new_state, {
+            "loss": loss, "loss_image": li, "loss_event": le, "loss_kl": lk,
+            "ema_momentum": momentum,
+            "grad_norm": global_grad_norm(grads),
+        }
 
     return step
