@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import time
 
 import jax
@@ -36,6 +37,7 @@ from eventpretrain_tpu.models.cls_hub import (
     cls_hub_vit_ecdp_base,
     cls_hub_vit_mem_small,
     cls_hub_vit_mem_base,
+    cls_hub_swin_ecddp_tiny,
 )
 from eventpretrain_tpu.train import (
     build_optimizer,
@@ -56,11 +58,19 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("finetune_cls")
     p.add_argument("--dataset", default="synthetic",
                    choices=["synthetic", "n_cars", "n_caltech101",
-                            "cifar10_dvs", "dvs128_gesture"])
+                            "cifar10_dvs", "dvs128_gesture", "n_imagenet",
+                            "es_imagenet", "ucf101_dvs"])
+    p.add_argument("--es_train_label", default=None)
+    p.add_argument("--es_val_label", default=None)
+    p.add_argument("--val_variant_roots", nargs="*", default=[],
+                   help="extra N-ImageNet robustness val roots, evaluated "
+                        "separately each epoch (reference "
+                        "main_finetune_cls.py:225-233)")
     p.add_argument("--train_root", default=None)
     p.add_argument("--val_root", default=None)
     p.add_argument("--num_classes", type=int, default=2)
-    p.add_argument("--backbone", default="vit", choices=["vit", "convvit", "swin", "vit_ecdp", "vit_mem"])
+    p.add_argument("--backbone", default="vit", choices=["vit", "convvit", "swin", "vit_ecdp", "vit_mem",
+                            "swin_ecddp"])
     p.add_argument("--model_size", default="small", choices=["small", "base"])
     p.add_argument("--num_bins", type=int, default=5)
     p.add_argument("--input_size", type=int, default=224)
@@ -92,37 +102,78 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
     p.add_argument("--print_freq", type=int, default=20)
     p.add_argument("--val_event_noise", action="store_true")
+    p.add_argument("--use_evrepsl", action="store_true",
+                   help="EvRep input + frozen EvRepSL preprocessor "
+                        "(reference main_finetune_cls.py:412-419)")
+    p.add_argument("--evrepsl_checkpoint", default=None,
+                   help="RepGen weights (torch .pth); random init if absent")
     return p
 
 
 def make_sources(args):
+    """Returns (train, val, extra_vals: dict, sensor_hw or None)."""
+    from eventpretrain_tpu.data import cls_sources as cs
+
     if args.dataset == "synthetic":
         train = SyntheticClsSource(args.num_classes, 64, seed=args.seed)
         val = SyntheticClsSource(args.num_classes, 16, seed=args.seed + 1000)
-        return train, val
-    if args.dataset in ("n_cars", "n_caltech101", "cifar10_dvs",
-                        "dvs128_gesture"):
-        assert args.train_root and args.val_root, (
-            f"--train_root/--val_root required for {args.dataset}"
-        )
-        return NCarsSource(args.train_root), NCarsSource(args.val_root)
-    raise ValueError(args.dataset)
+        return train, val, {}, None
+    assert args.train_root and args.val_root, (
+        f"--train_root/--val_root required for {args.dataset}"
+    )
+    if args.dataset == "n_cars":
+        # sensor size inferred from event maxima per sample
+        return NCarsSource(args.train_root), NCarsSource(args.val_root), {}, None
+    factories = {
+        "n_caltech101": lambda root: cs.NCaltech101Source(root),
+        "cifar10_dvs": lambda root: cs.Cifar10DvsSource(root, args.input_size),
+        "dvs128_gesture": lambda root: cs.Dvs128GestureSource(root),
+        "ucf101_dvs": lambda root: cs.Ucf101DvsSource(root),
+        "n_imagenet": lambda root: cs.NImageNetSource(
+            root, args.input_size, args.num_classes),
+        "es_imagenet": None,
+    }
+    if args.dataset == "es_imagenet":
+        assert args.es_train_label and args.es_val_label
+        train = cs.EsImageNetSource(args.train_root, args.es_train_label)
+        val = cs.EsImageNetSource(args.val_root, args.es_val_label)
+    else:
+        make = factories[args.dataset]
+        train, val = make(args.train_root), make(args.val_root)
+    extra = {}
+    if args.dataset == "n_imagenet":
+        for root in args.val_variant_roots:
+            extra[os.path.basename(root.rstrip("/"))] = factories[
+                "n_imagenet"](root)
+    sensor_hw = train.sensor_hw
+    if args.dataset in ("cifar10_dvs", "n_imagenet"):
+        # coords pre-rescaled to input resolution
+        sensor_hw = (args.input_size, args.input_size)
+    return train, val, extra, sensor_hw
 
 
 def main(args=None):
     args = build_parser().parse_args(args)
     np.random.seed(args.seed)
 
-    train_src, val_src = make_sources(args)
+    train_src, val_src, extra_vals, sensor_hw = make_sources(args)
+    if sensor_hw is not None:
+        canvas = sensor_hw
+        infer = False
+    else:
+        canvas = tuple(args.canvas)
+        infer = True
     cfg = ClsDataConfig(
         num_classes=args.num_classes,
         num_bins=args.num_bins,
         input_size=args.input_size,
         fix_events_num=args.fix_events_num,
         val_fix_events_num=args.val_fix_events_num,
-        canvas_height=args.canvas[0],
-        canvas_width=args.canvas[1],
+        canvas_height=canvas[0],
+        canvas_width=canvas[1],
+        infer_sensor_size=infer,
         event_noise=args.val_event_noise,
+        use_evrep=args.use_evrepsl,
     )
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
@@ -137,18 +188,41 @@ def main(args=None):
         ("vit_ecdp", "base"): cls_hub_vit_ecdp_base,
         ("vit_mem", "small"): cls_hub_vit_mem_small,
         ("vit_mem", "base"): cls_hub_vit_mem_base,
+        ("swin_ecddp", "small"): cls_hub_swin_ecddp_tiny,
+        ("swin_ecddp", "base"): cls_hub_swin_ecddp_tiny,
     }[(args.backbone, args.model_size)]
+    in_chans = {2: 2, 3: 3}.get(args.num_bins, args.num_bins)
+    preprocess_fn = None
+    if args.use_evrepsl:
+        from eventpretrain_tpu.models.evrepsl import evrepsl_net
+
+        rep = evrepsl_net(dtype=dtype)
+        rep_vars = jax.jit(rep.init)(
+            jax.random.key(7),
+            jnp.zeros((1, args.input_size, args.input_size, 3)),
+        )
+        if args.evrepsl_checkpoint:
+            from eventpretrain_tpu.ckpt.torch_import import (
+                load_torch_backbone_if_needed,
+            )
+
+            rep_vars = {"params": load_torch_backbone_if_needed(
+                args.evrepsl_checkpoint, rep_vars["params"])}
+        else:
+            print("[warn] --use_evrepsl without --evrepsl_checkpoint: "
+                  "random RepGen weights")
+        preprocess_fn = lambda evg: rep.apply(rep_vars, evg)
+        in_chans = 5  # concat(EvRep, clean_ie, C)
     hub = factory(
         num_classes=args.num_classes,
-        num_bins=args.num_bins,
+        num_bins=in_chans,
         dtype=dtype,
         input_size=args.input_size,
         drop_path_rate=args.drop_path_rate,
     )
     variables = jax.jit(hub.init)(
         jax.random.key(args.seed),
-        jnp.zeros((1, args.input_size, args.input_size,
-                   {2: 2, 3: 3}.get(args.num_bins, args.num_bins))),
+        jnp.zeros((1, args.input_size, args.input_size, in_chans)),
     )
     params = variables["params"]
     if args.finetune:
@@ -185,8 +259,10 @@ def main(args=None):
         state = restore_checkpoint(args.resume, state)
         print(f"resumed from {args.resume} at step {int(state.step)}")
 
-    train_step = make_cls_train_step(hub, smoothing=args.smoothing)
-    eval_step = make_cls_eval_step(hub)
+    train_step = make_cls_train_step(
+        hub, smoothing=args.smoothing, preprocess_fn=preprocess_fn
+    )
+    eval_step = make_cls_eval_step(hub, preprocess_fn=preprocess_fn)
 
     best_acc = 0.0
     key = jax.random.key(args.seed)
@@ -206,6 +282,14 @@ def main(args=None):
             val_src, cfg, args.batch_size, train=False, seed=args.seed
         )
         val_metrics = evaluate(eval_step, state, val_pipe)
+        for name, src in extra_vals.items():
+            vm = evaluate(
+                eval_step, state,
+                ClsPipeline(src, cfg, args.batch_size, train=False,
+                            seed=args.seed),
+                header=f"Val[{name}]:",
+            )
+            print(f"  variant {name}: acc1 {vm.get('acc1', 0):.2f}")
         record = {
             "epoch": epoch,
             **{f"train_{k}": v for k, v in train_metrics.items()},

@@ -59,11 +59,13 @@ class ClsDataConfig:
     infer_sensor_size: bool = True  # N-Cars: from event maxima (ref :64)
     event_noise: bool = False       # robustness eval (--val_event_noise)
     stream_augment: bool = True     # erase_and_add in training
+    use_evrep: bool = False         # EvRepSL 3-channel representation
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_bins", "height", "width", "out_size", "mode"),
+    static_argnames=("num_bins", "height", "width", "out_size", "mode",
+                     "use_evrep"),
 )
 def _device_preprocess(
     events,
@@ -76,15 +78,18 @@ def _device_preprocess(
     width: int,
     out_size: int,
     mode: str,
+    use_evrep: bool = False,
 ):
     evg = build_representation(
         events, counts, num_bins=num_bins, height=height, width=width,
-        sensor_hw=sensor_hw,
+        sensor_hw=sensor_hw, use_evrep=use_evrep,
     )
     evg = apply_view_augment(
         evg, params, (out_size, out_size), mode,
-        negate_on_tflip=num_bins in (5, 6),
+        negate_on_tflip=(not use_evrep) and num_bins in (5, 6),
     )
+    if use_evrep:
+        return evg
     return normalize_representation(evg, num_bins)
 
 
@@ -189,6 +194,7 @@ class ClsPipeline:
                 width=cfg.canvas_width,
                 out_size=cfg.input_size,
                 mode=cfg.resize_mode,
+                use_evrep=cfg.use_evrep,
             )
             yield {
                 "evg": evg,

@@ -43,9 +43,15 @@ def build_representation(
     height: int,
     width: int,
     sensor_hw: Optional[jax.Array] = None,
+    use_evrep: bool = False,
 ) -> jax.Array:
     """(B, E, 4) padded events -> (B, height, width, C) representation."""
 
+    if use_evrep:
+        from eventpretrain_tpu.ops.events import events_to_evrep
+
+        fn = functools.partial(events_to_evrep, height=height, width=width)
+        return jax.vmap(fn)(events, counts)
     if num_bins == 2:
         fn = functools.partial(
             events_to_image_ecdp, height=height, width=width

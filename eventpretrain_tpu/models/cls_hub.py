@@ -145,3 +145,13 @@ def cls_hub_vit_mem_base(num_classes: int, num_bins: int = 3,
         num_bins=num_bins, dtype=dtype, name="backbone", **bk
     )
     return FtClsHub(backbone=backbone, num_classes=num_classes, dtype=dtype)
+
+
+def cls_hub_swin_ecddp_tiny(num_classes: int, num_bins: int = 5,
+                            dtype: Any = jnp.float32, **bk) -> FtClsHub:
+    from eventpretrain_tpu.models.swin_ecddp import swin_ecddp_tiny_window7
+
+    backbone = swin_ecddp_tiny_window7(
+        num_bins=num_bins, dtype=dtype, name="backbone", **bk
+    )
+    return FtClsHub(backbone=backbone, num_classes=num_classes, dtype=dtype)

@@ -198,18 +198,23 @@ def make_rec_and_con_step(
     return step
 
 
-def make_cls_train_step(hub, *, smoothing: float = 0.0) -> Callable:
+def make_cls_train_step(hub, *, smoothing: float = 0.0,
+                        preprocess_fn: Callable | None = None) -> Callable:
     """Classification finetune step (reference ft_cls_trainer.py:15-109).
 
-    batch = {'evg': (B,H,W,C), 'label': (B,)}.
+    batch = {'evg': (B,H,W,C), 'label': (B,)}. ``preprocess_fn`` (e.g. the
+    frozen EvRepSL net, reference ft_cls_trainer.py:36-37) maps evg first.
     """
     from eventpretrain_tpu.objectives.cls import cls_loss
     from eventpretrain_tpu.eval.metrics import topk_accuracy
 
     def loss_fn(params, state: TrainState, batch, rng):
+        evg = batch["evg"]
+        if preprocess_fn is not None:
+            evg = jax.lax.stop_gradient(preprocess_fn(evg))
         _, logits, _ = state.apply_fn(
             {"params": params},
-            batch["evg"],
+            evg,
             train=True,
             rngs={"dropout": rng},
         )
@@ -235,15 +240,18 @@ def make_cls_train_step(hub, *, smoothing: float = 0.0) -> Callable:
     return step
 
 
-def make_cls_eval_step(hub) -> Callable:
+def make_cls_eval_step(hub, preprocess_fn: Callable | None = None) -> Callable:
     """Validation step (reference ft_val, ft_cls_trainer.py:111-192)."""
     from eventpretrain_tpu.objectives.cls import cls_loss
     from eventpretrain_tpu.eval.metrics import topk_accuracy
 
     @jax.jit
     def step(state: TrainState, batch):
+        evg = batch["evg"]
+        if preprocess_fn is not None:
+            evg = preprocess_fn(evg)
         _, logits, _ = state.apply_fn(
-            {"params": state.params}, batch["evg"], train=False
+            {"params": state.params}, evg, train=False
         )
         loss = cls_loss(logits, batch["label"])
         metrics = {
