@@ -274,8 +274,7 @@ def main(args=None):
     return state
 
 
-if __name__ == "__main__":
-    main()
+
 
 
 def main_ecdp(args):
@@ -371,3 +370,7 @@ def main_ecdp(args):
         if (epoch + 1) % args.save_model_freq == 0 or epoch + 1 == args.epochs:
             print(f"saved {save_checkpoint(args.output_dir, state)}")
     return state
+
+
+if __name__ == "__main__":
+    main()
