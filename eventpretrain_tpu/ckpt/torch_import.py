@@ -108,6 +108,22 @@ def _flax_path_to_torch_key(path: list[str]) -> tuple[str, str]:
         if m:
             parts.append(f"{m.group(1)}.{m.group(2)}")
             continue
+        # sparse swin: swin_block_{stage}_{block} -> swin_block.S.blocks.B
+        m = re.fullmatch(r"swin_block_(\d+)_(\d+)", name)
+        if m:
+            parts.append(f"swin_block.{m.group(1)}.blocks.{m.group(2)}")
+            continue
+        # patch_merging_{stage} -> swin_block.S.downsample
+        m = re.fullmatch(r"patch_merging_(\d+)", name)
+        if m:
+            parts.append(f"swin_block.{m.group(1)}.downsample")
+            continue
+        if name == "patch_embed_proj":
+            parts.extend(["patch_embed", "proj"])
+            continue
+        if name == "patch_embed_norm":
+            parts.extend(["patch_embed", "norm"])
+            continue
         m = re.fullmatch(r"(fc|bn)(\d+)", name)
         if m and parts and parts[-1] in ("emb_h_proj", "emb_h_pred"):
             parts.append(str(_PROJECTOR_SEQ[m.group(1)](int(m.group(2)))))

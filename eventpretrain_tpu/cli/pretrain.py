@@ -56,7 +56,8 @@ from eventpretrain_tpu.utils.logging import append_log_line
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("pretrain")
     p.add_argument("--pr_phase", default="rec",
-                   choices=["rec", "adj", "con", "rec+con", "ecdp"])
+                   choices=["rec", "rec-n", "adj", "_adj", "adj-n", "con",
+                            "con-n", "rec+con", "ecdp", "ecdp-ef"])
     p.add_argument("--dataset", default="synthetic",
                    choices=["synthetic", "ef_imagenet"])
     p.add_argument("--data_root", default=None)
@@ -95,9 +96,25 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+PHASE_ALIASES = {
+    # reference main_pretrain.py:36 phase matrix; the -n variants run CLIP
+    # in-loop on raw images — unavailable here (no CLIP weights), so they
+    # alias to the precomputed-embedding paths with a notice.
+    "rec-n": "rec", "_adj": "adj", "adj-n": "adj", "con-n": "con",
+    "ecdp-ef": "ecdp",
+}
+
+
 def main(args=None):
     args = build_parser().parse_args(args)
     np.random.seed(args.seed)
+    if args.pr_phase in PHASE_ALIASES:
+        canonical = PHASE_ALIASES[args.pr_phase]
+        if args.pr_phase.endswith("-n"):
+            print(f"[note] {args.pr_phase}: on-the-fly CLIP encoding is "
+                  f"unavailable in this environment; running the {canonical} "
+                  "path over precomputed clip embeddings")
+        args.pr_phase = canonical
     if args.pr_phase == "ecdp":
         return main_ecdp(args)
 
@@ -308,10 +325,20 @@ def main_ecdp(args):
         crop_min=args.crop_min,
     )
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    model = {"small": ecdp_model_small, "base": ecdp_model_base}[
-        args.model_size
-    ](dtype=dtype, input_size=args.input_size,
-      drop_path_rate=args.drop_path_rate)
+    from eventpretrain_tpu.models.ecdp_hub import (
+        ecdp_model_convvit_small,
+        ecdp_model_convvit_base,
+    )
+
+    model = {
+        ("vit", "small"): ecdp_model_small,
+        ("vit", "base"): ecdp_model_base,
+        ("convvit", "small"): ecdp_model_convvit_small,
+        ("convvit", "base"): ecdp_model_convvit_base,
+    }[("convvit" if args.backbone == "convvit" else "vit", args.model_size)](
+        dtype=dtype, input_size=args.input_size,
+        drop_path_rate=args.drop_path_rate,
+    )
 
     num_patches = (args.input_size // 16) ** 2
     len_keep = int(num_patches * (1 - args.mask_ratio))

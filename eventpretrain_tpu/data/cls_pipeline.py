@@ -25,6 +25,7 @@ from eventpretrain_tpu.data.event_transforms import (
     add_noise_events,
     pad_events,
 )
+from eventpretrain_tpu.native import pack_event_batch
 from eventpretrain_tpu.data.representations import (
     build_representation,
     normalize_representation,
@@ -110,6 +111,8 @@ class ClsPipeline:
         self.batch_size = batch_size
         self.train = train
         self.rng = np.random.default_rng(seed)
+        self._pack_buffers = [None, None]  # rotate to dodge page faults
+        self._pack_i = 0
         self.drop_last = train if drop_last is None else drop_last
 
     def __len__(self) -> int:
@@ -140,8 +143,7 @@ class ClsPipeline:
             events = erase_and_add_events(
                 self.rng, events, (sensor_h, sensor_w)
             )
-        arr, count = pad_events(events.astype(np.float32), cap)
-        return arr, count, (sensor_h, sensor_w), label
+        return events.astype(np.float32), (sensor_h, sensor_w), label
 
     def _sample_view(self, sensor_hw: Sequence[tuple[int, int]]) -> ViewParams:
         cfg = self.cfg
@@ -167,6 +169,7 @@ class ClsPipeline:
 
     def __iter__(self) -> Iterator[dict]:
         cfg = self.cfg
+        cap = cfg.fix_events_num if self.train else cfg.val_fix_events_num
         order = np.arange(len(self.source))
         if self.train:
             self.rng.shuffle(order)
@@ -176,17 +179,22 @@ class ClsPipeline:
             idx = order[b * bs : (b + 1) * bs]
             if len(idx) < bs:  # pad tail batch by wrapping (eval keeps labels)
                 idx = np.concatenate([idx, order[: bs - len(idx)]])
-            evs, counts, hws, labels = [], [], [], []
+            streams, hws, labels = [], [], []
             for i in idx:
-                arr, count, hw, label = self._prepare_sample(int(i))
-                evs.append(arr)
-                counts.append(count)
+                stream, hw, label = self._prepare_sample(int(i))
+                streams.append(stream)
                 hws.append(hw)
                 labels.append(label)
+            # native multithreaded pack (eventpretrain_tpu/native)
+            self._pack_i ^= 1
+            packed, counts = pack_event_batch(
+                streams, cap, out=self._pack_buffers[self._pack_i]
+            )
+            self._pack_buffers[self._pack_i] = packed
             params = self._sample_view(hws)
             evg = _device_preprocess(
-                jnp.asarray(np.stack(evs)),
-                jnp.asarray(np.stack(counts)),
+                jnp.asarray(packed),
+                jnp.asarray(counts),
                 jnp.asarray(np.asarray(hws, np.int32)),
                 params,
                 num_bins=cfg.num_bins,

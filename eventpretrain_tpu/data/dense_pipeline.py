@@ -24,6 +24,7 @@ from eventpretrain_tpu.data.event_transforms import (
     erase_and_add_events,
     pad_events,
 )
+from eventpretrain_tpu.native import pack_event_batch
 from eventpretrain_tpu.ops.view_augment import (
     ViewParams,
     sample_view_params,
@@ -100,6 +101,8 @@ class DensePipeline:
         self.batch_size = batch_size
         self.train = train
         self.rng = np.random.default_rng(seed)
+        self._pack_buffers = [None, None]  # rotate to dodge page faults
+        self._pack_i = 0
 
     def __len__(self) -> int:
         return max(len(self.source) // self.batch_size, 1)
@@ -116,7 +119,7 @@ class DensePipeline:
             idx = order[b * bs : (b + 1) * bs]
             if len(idx) < bs:
                 idx = np.concatenate([idx, order[: bs - len(idx)]])
-            evs, counts, labels, valids = [], [], [], []
+            streams, labels, valids = [], [], []
             for i in idx:
                 item = self.source.load(int(i))
                 events = np.asarray(item["events"], np.float64)
@@ -124,14 +127,17 @@ class DensePipeline:
                     events = erase_and_add_events(
                         self.rng, events, (cfg.sensor_height, cfg.sensor_width)
                     )
-                arr, count = pad_events(events.astype(np.float32), cap)
-                evs.append(arr)
-                counts.append(count)
+                streams.append(events.astype(np.float32))
                 if cfg.task == "semseg":
                     labels.append(np.asarray(item["label"], np.int32))
                 else:
                     labels.append(np.asarray(item["flow"], np.float32))
                     valids.append(np.asarray(item["valid"], np.float32))
+            self._pack_i ^= 1
+            packed, counts = pack_event_batch(
+                streams, cap, out=self._pack_buffers[self._pack_i]
+            )
+            self._pack_buffers[self._pack_i] = packed
             if self.train:
                 params = sample_view_params(
                     self.rng, len(idx), cfg.sensor_height, cfg.sensor_width,
@@ -146,8 +152,8 @@ class DensePipeline:
                 jnp.asarray(np.stack(valids)) if valids else jnp.zeros(())
             )
             yield _device_preprocess(
-                jnp.asarray(np.stack(evs)),
-                jnp.asarray(np.stack(counts)),
+                jnp.asarray(packed),
+                jnp.asarray(counts),
                 labels_arr,
                 valid_arr,
                 params,

@@ -32,10 +32,10 @@ class EcdpEncoder(nn.Module):
     @nn.compact
     def __call__(
         self, img: jax.Array, ids_keep: jax.Array, train: bool = False,
-        project_image: bool = True,
+        project_image: bool = True, mask: Optional[jax.Array] = None,
     ):
         emb_event, emb_image, attn = self.backbone.encode_masked(
-            img, ids_keep, deterministic=not train
+            img, ids_keep, deterministic=not train, mask=mask
         )
         ev = ProjectorMlp(
             num_layers=self.proj_mlp_layers, mlp_dim=self.mlp_dim,
@@ -77,10 +77,10 @@ class EcdpModel(nn.Module):
 
     def forward_query(
         self, img_q: jax.Array, ids_keep: jax.Array, clip_emb: jax.Array,
-        train: bool = False,
+        train: bool = False, mask: Optional[jax.Array] = None,
     ):
         """Returns (q_event, q_image, clip_proj) (pr_ecdp_hub_model.py:238-255)."""
-        ev, im, *_ = self.encoder(img_q, ids_keep, train)
+        ev, im, *_ = self.encoder(img_q, ids_keep, train, mask=mask)
         q_event = self.event_head_pred(ev, train)
         q_image = self.image_head_pred(im, train)
         clip_proj = self.clip_emb_proj(clip_emb)
@@ -88,12 +88,14 @@ class EcdpModel(nn.Module):
 
     def forward_key(
         self, img_k: jax.Array, ids_keep: jax.Array, train: bool = False,
+        mask: Optional[jax.Array] = None,
     ):
         """EMA-key path: event projection only (pr_ecdp_hub_model.py:248-252).
 
         Apply with {'params': {'encoder': ema_params}}.
         """
-        ev, *_ = self.encoder(img_k, ids_keep, train, project_image=False)
+        ev, *_ = self.encoder(img_k, ids_keep, train, project_image=False,
+                              mask=mask)
         return ev
 
     def __call__(self, img_q, ids_keep, clip_emb, train: bool = False):
@@ -117,6 +119,29 @@ def ecdp_model_base(num_bins: int = 2, dtype: Any = jnp.float32,
     from eventpretrain_tpu.models.vit_ecdp import vit_ecdp_base_patch16
 
     backbone = vit_ecdp_base_patch16(
+        num_bins=num_bins, dtype=dtype, name="backbone", **bk
+    )
+    encoder = EcdpEncoder(backbone=backbone, dtype=dtype, name="encoder")
+    return EcdpModel(encoder=encoder, dtype=dtype)
+
+
+def ecdp_model_convvit_small(num_bins: int = 2, dtype: Any = jnp.float32,
+                             **bk) -> EcdpModel:
+    """Reference convvit_ecdp variant (pr_ecdp_hub_model.py:55-83)."""
+    from eventpretrain_tpu.models.convvit_ecdp import convvit_ecdp_small_patch16
+
+    backbone = convvit_ecdp_small_patch16(
+        num_bins=num_bins, dtype=dtype, name="backbone", **bk
+    )
+    encoder = EcdpEncoder(backbone=backbone, dtype=dtype, name="encoder")
+    return EcdpModel(encoder=encoder, dtype=dtype)
+
+
+def ecdp_model_convvit_base(num_bins: int = 2, dtype: Any = jnp.float32,
+                            **bk) -> EcdpModel:
+    from eventpretrain_tpu.models.convvit_ecdp import convvit_ecdp_base_patch16
+
+    backbone = convvit_ecdp_base_patch16(
         num_bins=num_bins, dtype=dtype, name="backbone", **bk
     )
     encoder = EcdpEncoder(backbone=backbone, dtype=dtype, name="encoder")

@@ -14,6 +14,7 @@ from typing import Callable, Iterable, Optional
 import jax
 import numpy as np
 
+from eventpretrain_tpu.data.prefetch import Prefetcher
 from eventpretrain_tpu.train.state import TrainState
 from eventpretrain_tpu.utils.logging import MetricLogger
 
@@ -30,7 +31,7 @@ def train_one_epoch(
 ) -> tuple[TrainState, dict]:
     logger = MetricLogger()
     header = header or f"Epoch: [{epoch}]"
-    for batch in logger.log_every(pipeline, print_freq, header):
+    for batch in logger.log_every(Prefetcher(pipeline), print_freq, header):
         rng_key, sub = jax.random.split(rng_key)
         state, metrics = step(state, batch, sub)
         logger.update(**{k: float(v) for k, v in metrics.items()})
@@ -46,7 +47,7 @@ def evaluate(
     header: str = "Val:",
 ) -> dict:
     logger = MetricLogger()
-    for batch in logger.log_every(pipeline, print_freq, header):
+    for batch in logger.log_every(Prefetcher(pipeline), print_freq, header):
         metrics = eval_step(state, batch)
         logger.update(**{k: float(v) for k, v in metrics.items()})
     return logger.global_averages()

@@ -66,7 +66,7 @@ def make_rec_step(
         )
         return loss, {}
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, rng):
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state, batch, rng
@@ -113,7 +113,7 @@ def make_con_step(
             new_queue = state.queue
         return loss, (updates["batch_stats"], new_queue)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, rng):
         (loss, (new_stats, new_queue)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -179,7 +179,7 @@ def make_rec_and_con_step(
             new_queue = state.queue
         return rec + con, (updates["batch_stats"], new_queue, rec, con)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, rng):
         (loss, (new_stats, new_queue, rec, con)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -221,7 +221,7 @@ def make_cls_train_step(hub, *, smoothing: float = 0.0,
         loss = cls_loss(logits, batch["label"], smoothing)
         return loss, logits
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, rng):
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state, batch, rng
@@ -292,7 +292,7 @@ def make_swin_rec_step(
     num_cells = cell_grid ** 2
     len_keep = int(num_cells * (1 - mask_ratio))
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def inner(state: TrainState, batch, plans, ids_keep, mask, ids_restore,
               rng):
         def loss_fn(params):
@@ -376,7 +376,7 @@ def make_semseg_train_step(
         loss = w_decode * (d_ce + d_dice) + w_aux * (a_ce + a_dice)
         return loss, (updates.get("batch_stats", {}), d_ce, d_dice)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, rng):
         (loss, (stats, d_ce, d_dice)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -441,7 +441,7 @@ def make_flow_train_step(
         loss = w_decode * d_l1 + w_aux * a_l1
         return loss, (updates.get("batch_stats", {}), d_l1)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, rng):
         (loss, (stats, d_l1)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -525,23 +525,23 @@ def make_ecdp_step(
     def loss_fn(params, state: TrainState, batch, ema_params, rng):
         rng_mq, rng_mk, rng_d1, rng_d2 = jax.random.split(rng, 4)
         b = batch["img_q"].shape[0]
-        ids_keep_q, _, _ = make_mask_from_noise(
+        ids_keep_q, mask_q, _ = make_mask_from_noise(
             jax.random.uniform(rng_mq, (b, num_patches)), len_keep
         )
-        ids_keep_k, _, _ = make_mask_from_noise(
+        ids_keep_k, mask_k, _ = make_mask_from_noise(
             jax.random.uniform(rng_mk, (b, num_patches)), len_keep
         )
         variables = {"params": params, "batch_stats": state.batch_stats}
         (q_event, q_image, clip_proj), updates = state.apply_fn(
             variables, batch["img_q"], ids_keep_q, batch["clip_emb"],
-            train=True, method=model.forward_query,
+            train=True, mask=mask_q, method=model.forward_query,
             rngs={"dropout": rng_d1}, mutable=["batch_stats"],
         )
         # EMA key path: no gradients, batch-stat mutations discarded
         k_event, _ = state.apply_fn(
             {"params": {"encoder": ema_params},
              "batch_stats": state.batch_stats},
-            batch["img_k"], ids_keep_k, train=True,
+            batch["img_k"], ids_keep_k, train=True, mask=mask_k,
             method=model.forward_key,
             rngs={"dropout": rng_d2}, mutable=["batch_stats"],
         )
@@ -574,7 +574,7 @@ def make_ecdp_step(
         return total, (updates["batch_stats"], new_queue,
                        loss_image, loss_event, loss_kl)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, rng):
         from eventpretrain_tpu.objectives.ecdp import cosine_ema_momentum
 

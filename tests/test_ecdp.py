@@ -104,10 +104,14 @@ class TestEcdpStep:
         )
         params = variables["params"]
         tx = build_optimizer(params, learning_rate=1e-3, num_layers=2)
-        ema0 = jax.tree.map(lambda x: x, params["encoder"])
+        # copies: the step donates its input state buffers
+        ema0 = jax.tree.map(jnp.copy, params["encoder"])
         state = TrainState.create(
-            apply_fn=model.apply, params=params,
-            batch_stats=variables["batch_stats"], tx=tx, ema_params=ema0,
+            apply_fn=model.apply,
+            params=jax.tree.map(jnp.copy, params),
+            batch_stats=jax.tree.map(jnp.copy, variables["batch_stats"]),
+            tx=tx,
+            ema_params=jax.tree.map(jnp.copy, ema0),
         )
         step = make_ecdp_step(
             model, num_patches=16, mask_ratio=0.75,
@@ -152,3 +156,25 @@ def test_vit_ecdp_cls_head_dim():
     assert variables["params"]["classify_head"]["kernel"].shape == (96, 4)
     _, logits, _ = hub.apply(variables, x)
     assert logits.shape == (2, 4)
+
+
+def test_convvit_ecdp_paths(rng):
+    from eventpretrain_tpu.models.convvit_ecdp import ConvViTECDP
+    from eventpretrain_tpu.ops import random_masking
+
+    model = ConvViTECDP(
+        input_size=64, patch_sizes=(4, 2, 2), embed_dims=(16, 24, 32),
+        depths=(1, 1, 2), num_heads=4, num_bins=2,
+    )
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 2)), jnp.float32)
+    ids_keep, mask, _ = random_masking(jax.random.key(0), 2, 16, 0.75)
+    variables = model.init(
+        jax.random.key(1), x, ids_keep, mask=mask, method=model.encode_masked
+    )
+    ev, im, _ = model.apply(
+        variables, x, ids_keep, mask=mask, method=model.encode_masked
+    )
+    assert ev.shape == (2, 32) and im.shape == (2, 32)
+    dvars = model.init(jax.random.key(2), x)
+    emb, _, _ = model.apply(dvars, x)
+    assert emb.shape == (2, 64)

@@ -1,0 +1,60 @@
+"""Native event-pack extension: correctness vs numpy + both backends."""
+
+import numpy as np
+
+import eventpretrain_tpu.native as native
+
+
+def _streams(rng, batch=8, max_n=5000):
+    return [
+        np.stack(
+            [rng.integers(0, 64, n), rng.integers(0, 48, n),
+             np.sort(rng.uniform(0, 1, n)), rng.integers(0, 2, n)], 1
+        ).astype(np.float32)
+        for n in rng.integers(10, max_n, batch)
+    ]
+
+
+def test_native_backend_builds():
+    native._get_lib()
+    assert native.BACKEND in ("native", "numpy")
+    # the environment ships g++, so the native path should be live
+    assert native.BACKEND == "native"
+
+
+def test_pack_matches_numpy_fallback(rng):
+    streams = _streams(rng)
+    cap = 2048
+    out_native, counts_native = native.pack_event_batch(streams, cap)
+
+    # force numpy fallback
+    lib, backend = native._LIB, native.BACKEND
+    native._LIB, native.BACKEND = None, "numpy-forced"
+    try:
+        out_np, counts_np = native.pack_event_batch(streams, cap)
+    finally:
+        native._LIB, native.BACKEND = lib, backend
+
+    np.testing.assert_array_equal(counts_native, counts_np)
+    np.testing.assert_array_equal(out_native, out_np)
+
+
+def test_backward_window_when_longer(rng):
+    streams = [_streams(rng, batch=1, max_n=5000)[0]]
+    streams[0] = np.concatenate([streams[0]] * 3)  # > cap
+    cap = 1000
+    out, counts = native.pack_event_batch(streams, cap)
+    assert counts[0] == cap
+    np.testing.assert_array_equal(out[0], streams[0][:cap])
+    # train mode picks a random window
+    rng2 = np.random.default_rng(0)
+    out2, _ = native.pack_event_batch(streams, cap, rng=rng2, train=True)
+    assert out2.shape == (1, cap, 4)
+
+
+def test_padding_zeroed(rng):
+    streams = [np.ones((10, 4), np.float32)]
+    out, counts = native.pack_event_batch(streams, 64)
+    assert counts[0] == 10
+    assert (out[0, 10:] == 0).all()
+    assert (out[0, :10] == 1).all()

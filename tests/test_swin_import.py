@@ -1,0 +1,71 @@
+"""Swin checkpoint key mapping: full coverage of a tiny sparse Swin."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from eventpretrain_tpu.models.swin import SparseSwin  # noqa: E402
+from eventpretrain_tpu.ckpt.torch_import import (  # noqa: E402
+    import_torch_params,
+)
+
+
+def test_swin_key_coverage():
+    model = SparseSwin(
+        input_size=64, patch_size=4, embed_dims=(16, 32, 64, 128),
+        depths=(1, 1, 1, 1), num_heads=(2, 2, 2, 2), window_size=4,
+        decoder_num_patches=4, num_bins=5, with_rec_decoders=True,
+        name="backbone",
+    )
+    ids_keep = jnp.asarray([[0, 3]], jnp.int32)
+    from eventpretrain_tpu.models.swin import plans_to_device
+    from eventpretrain_tpu.models.swin_plan import build_swin_plans
+
+    plans = plans_to_device(build_swin_plans(
+        np.array([False, True, True, False]), input_resolution=(16, 16),
+        num_stages=4, window_size=4, cell_grid=2,
+    ))
+    x = jnp.zeros((1, 64, 64, 5))
+    variables = model.init(
+        jax.random.key(0), x, ids_keep, plans, method=model.encode_masked
+    )
+
+    # build a torch-style state dict with the reference's key space and the
+    # shapes the importer should expect, from the flax tree itself
+    from eventpretrain_tpu.ckpt.torch_import import _flax_path_to_torch_key
+
+    sd = {}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(
+        {"backbone": variables["params"]}
+    ):
+        names = [getattr(p, "key", str(p)) for p in path]
+        key, kind = _flax_path_to_torch_key(names)
+        arr = np.asarray(leaf)
+        if kind == "linear" and arr.ndim == 2:
+            arr = arr.T
+        elif kind == "linear" and arr.ndim == 4:
+            arr = arr.transpose(3, 2, 0, 1)
+        sd[key] = torch.from_numpy(np.ascontiguousarray(arr) * 0 + 1.0)
+
+    # expected reference-style names appear
+    assert "backbone.swin_block.0.blocks.0.attn.qkv.weight" in sd
+    assert "backbone.swin_block.0.downsample.reduction.weight" in sd
+    assert "backbone.patch_embed.proj.weight" in sd
+    assert (
+        "backbone.swin_block.1.blocks.0.attn.relative_position_bias_table"
+        in sd
+    )
+
+    state_dict = {k: v.numpy() for k, v in sd.items()}
+    new_params, missing, unused = import_torch_params(
+        state_dict, {"backbone": variables["params"]}, verbose=False
+    )
+    assert not missing, missing[:5]
+    assert not unused, unused[:5]
+    # every imported leaf is the constant 1.0 tensor
+    leaf = new_params["backbone"]["swin_block_0_0"]["attn"]["qkv"]["kernel"]
+    np.testing.assert_allclose(np.asarray(leaf), 1.0)

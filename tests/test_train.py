@@ -180,8 +180,9 @@ class TestConStep:
             )
             state = TrainState.create(
                 apply_fn=hub.apply,
-                params=variables["params"],
-                batch_stats=variables["batch_stats"],
+                # copy: steps donate their input state buffers
+                params=jax.tree.map(jnp.copy, variables["params"]),
+                batch_stats=jax.tree.map(jnp.copy, variables["batch_stats"]),
                 tx=tx,
                 queue=queue,
             )
@@ -213,7 +214,9 @@ class TestConStep:
             trainable_mask=frozen_except_norm_mask(params0),
         )
         state = TrainState.create(
-            apply_fn=hub.apply, params=params0,
+            apply_fn=hub.apply,
+            # copy: the step donates its input state buffers
+            params=jax.tree.map(jnp.copy, params0),
             batch_stats=variables["batch_stats"], tx=tx,
         )
         step = make_con_step(hub, use_queue=False)
@@ -228,3 +231,18 @@ class TestConStep:
         h0 = params0["emb_h_proj"]["fc0"]["kernel"]
         h1 = state.params["emb_h_proj"]["fc0"]["kernel"]
         assert not np.allclose(np.asarray(h0), np.asarray(h1))
+
+
+def test_prefetcher_order_and_errors():
+    from eventpretrain_tpu.data.prefetch import Prefetcher
+
+    assert list(Prefetcher(range(10))) == list(range(10))
+
+    def gen():
+        yield 1
+        raise ValueError("boom")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        list(Prefetcher(gen()))
