@@ -51,7 +51,7 @@ from eventpretrain_tpu.train.steps import (
 from eventpretrain_tpu.train.loop import train_one_epoch, evaluate
 from eventpretrain_tpu.ckpt import save_checkpoint, restore_checkpoint
 from eventpretrain_tpu.ckpt.torch_import import load_torch_backbone_if_needed
-from eventpretrain_tpu.utils.logging import append_log_line
+from eventpretrain_tpu.utils.logging import append_log_line, ScalarWriter
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -107,6 +107,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(reference main_finetune_cls.py:412-419)")
     p.add_argument("--evrepsl_checkpoint", default=None,
                    help="RepGen weights (torch .pth); random init if absent")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="write scalars to <output_dir>/tb")
+    p.add_argument("--visualize", action="store_true",
+                   help="save diagnostic panels to <output_dir>/vis_val")
     return p
 
 
@@ -264,6 +268,9 @@ def main(args=None):
     )
     eval_step = make_cls_eval_step(hub, preprocess_fn=preprocess_fn)
 
+    writer = ScalarWriter(
+        f"{args.output_dir}/tb" if args.tensorboard else None
+    )
     best_acc = 0.0
     key = jax.random.key(args.seed)
     start_epoch = int(state.step) // steps_per_epoch
@@ -297,6 +304,24 @@ def main(args=None):
             "epoch_time_s": round(time.time() - t0, 2),
         }
         append_log_line(args.output_dir, record)
+        writer.write(train_metrics, epoch, "train/")
+        writer.write(val_metrics, epoch, "val/")
+        if args.visualize:
+            import numpy as _np
+
+            from eventpretrain_tpu.viz import save_cls_panel
+
+            vb = next(iter(ClsPipeline(val_src, cfg, args.batch_size,
+                                       train=False, seed=args.seed)))
+            evg = vb["evg"]
+            if preprocess_fn is not None:
+                evg = preprocess_fn(evg)
+            _, logits, _ = hub.apply({"params": state.params}, evg)
+            save_cls_panel(
+                f"{args.output_dir}/vis_val", f"epoch_{epoch:03d}.png",
+                _np.asarray(vb["evg"][0], _np.float32),
+                int(vb["label"][0]), int(logits[0].argmax()),
+            )
         print(f"epoch {epoch}: val acc1 {val_metrics.get('acc1', 0):.2f}")
         save_checkpoint(args.output_dir, state)
         if val_metrics.get("acc1", 0) > best_acc:

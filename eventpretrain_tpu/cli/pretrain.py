@@ -50,7 +50,7 @@ from eventpretrain_tpu.train.steps import (
 from eventpretrain_tpu.train.loop import train_one_epoch
 from eventpretrain_tpu.ckpt import save_checkpoint, restore_checkpoint
 from eventpretrain_tpu.ckpt.torch_import import load_torch_backbone_if_needed
-from eventpretrain_tpu.utils.logging import append_log_line
+from eventpretrain_tpu.utils.logging import append_log_line, ScalarWriter
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -93,6 +93,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
     p.add_argument("--print_freq", type=int, default=20)
+    p.add_argument("--tensorboard", action="store_true")
+    p.add_argument("--visualize", action="store_true",
+                   help="save reconstruction panels (rec phases)")
     return p
 
 
@@ -267,6 +270,9 @@ def main(args=None):
             **common,
         )
 
+    writer = ScalarWriter(
+        f"{args.output_dir}/tb" if args.tensorboard else None
+    )
     key = jax.random.key(args.seed)
     start_epoch = int(state.step) // steps_per_epoch
     for epoch in range(start_epoch, args.epochs):
@@ -285,6 +291,33 @@ def main(args=None):
             "epoch_time_s": round(time.time() - t0, 2),
         }
         append_log_line(args.output_dir, record)
+        writer.write(metrics, epoch, "train/")
+        if args.visualize and args.pr_phase in ("rec", "rec+con"):
+            import numpy as _np
+
+            from eventpretrain_tpu.ops.masking import make_mask_from_noise
+            from eventpretrain_tpu.ops.reshape import emb2frame
+            from eventpretrain_tpu.viz import save_reconstruction_panel
+
+            vb = next(iter(PretrainPipeline(
+                source, cfg, args.batch_size, train=False, seed=args.seed)))
+            len_keep = int(num_patches * (1 - args.mask_ratio))
+            noise = jax.random.uniform(
+                jax.random.fold_in(key, 10_000 + epoch),
+                (vb["evg"].shape[0], num_patches),
+            )
+            ids_keep, msk, ids_restore = make_mask_from_noise(noise, len_keep)
+            pred, *_ = hub.apply(
+                {"params": state.params}, vb["evg"], ids_keep, ids_restore,
+                mask=msk, method=hub.forward_rec,
+            )
+            pred_frame = emb2frame(patch_size, pred, args.frame_chans)
+            save_reconstruction_panel(
+                f"{args.output_dir}/vis_train", f"epoch_{epoch:03d}.png",
+                _np.asarray(vb["evg"][0], _np.float32),
+                _np.asarray(vb["frame"][0], _np.float32),
+                _np.asarray(pred_frame[0], _np.float32),
+            )
         if (epoch + 1) % args.save_model_freq == 0 or epoch + 1 == args.epochs:
             path = save_checkpoint(args.output_dir, state)
             print(f"saved {path}")
@@ -309,7 +342,7 @@ def main_ecdp(args):
     from eventpretrain_tpu.objectives.ecdp import init_sample_queue
     from eventpretrain_tpu.ops import random_masking
     from eventpretrain_tpu.train.steps import make_ecdp_step
-    from eventpretrain_tpu.utils.logging import append_log_line
+    from eventpretrain_tpu.utils.logging import append_log_line, ScalarWriter
 
     # ECDP runs on 2-channel count images
     args.num_bins = 2

@@ -134,3 +134,37 @@ def append_log_line(output_dir: str, record: dict[str, Any]):
     os.makedirs(output_dir, exist_ok=True)
     with open(os.path.join(output_dir, "log.txt"), "a") as f:
         f.write(json.dumps(record) + "\n")
+
+
+class ScalarWriter:
+    """Optional TensorBoard scalar writer (reference main_pretrain.py:222-234
+    SummaryWriter + the epoch_1000x calibrated x-axis, pr_trainer.py:65-73).
+
+    No-ops cleanly when tensorboard is unavailable.
+    """
+
+    def __init__(self, log_dir: str | None):
+        self._writer = None
+        if log_dir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                os.makedirs(log_dir, exist_ok=True)
+                self._writer = SummaryWriter(log_dir=log_dir)
+            except Exception:
+                self._writer = None
+
+    def write(self, metrics: dict, epoch: float, prefix: str = ""):
+        if self._writer is None:
+            return
+        step = int(epoch * 1000)  # epoch_1000x convention
+        for k, v in metrics.items():
+            try:
+                self._writer.add_scalar(f"{prefix}{k}", float(v), step)
+            except (TypeError, ValueError):
+                pass
+        self._writer.flush()
+
+    def close(self):
+        if self._writer is not None:
+            self._writer.close()
