@@ -97,26 +97,37 @@ _PROJECTOR_SEQ = {  # flax layer name -> torch nn.Sequential index offset
 }
 
 
+def path_names_set(path) -> set:
+    return set(path)
+
+
 def _flax_path_to_torch_key(path: list[str]) -> tuple[str, str]:
     """(torch key, kind) for a flax param path; kind in {linear, conv, norm,
     plain}."""
     parts = []
     kind = "plain"
     leaf = path[-1]
+    # SwinECDDP reuses the sparse-swin modules under a "backbone_swin"
+    # submodule; its torch key space is "layers.N.blocks.M" / "layers.N.
+    # downsample" (reference swin_ecddp.py:74-90) instead of "swin_block.*".
+    ecddp = "backbone_swin" in path_names_set(path)
+    stage_prefix = "layers" if ecddp else "swin_block"
     for name in path[:-1]:
+        if name == "backbone_swin":
+            continue  # transparent wrapper module
         m = re.fullmatch(r"(vit_block|conv_block1|conv_block2)_(\d+)", name)
         if m:
             parts.append(f"{m.group(1)}.{m.group(2)}")
             continue
-        # sparse swin: swin_block_{stage}_{block} -> swin_block.S.blocks.B
+        # sparse swin: swin_block_{stage}_{block} -> <stage_prefix>.S.blocks.B
         m = re.fullmatch(r"swin_block_(\d+)_(\d+)", name)
         if m:
-            parts.append(f"swin_block.{m.group(1)}.blocks.{m.group(2)}")
+            parts.append(f"{stage_prefix}.{m.group(1)}.blocks.{m.group(2)}")
             continue
-        # patch_merging_{stage} -> swin_block.S.downsample
+        # patch_merging_{stage} -> <stage_prefix>.S.downsample
         m = re.fullmatch(r"patch_merging_(\d+)", name)
         if m:
-            parts.append(f"swin_block.{m.group(1)}.downsample")
+            parts.append(f"{stage_prefix}.{m.group(1)}.downsample")
             continue
         if name == "patch_embed_proj":
             parts.extend(["patch_embed", "proj"])
@@ -149,11 +160,35 @@ def _flax_path_to_torch_key(path: list[str]) -> tuple[str, str]:
     return ".".join(parts + [torch_leaf]), kind
 
 
-def _convert(value: np.ndarray, target_shape: tuple, kind: str) -> np.ndarray:
+def _resize_rel_pos_table(value: np.ndarray, target_shape: tuple) -> np.ndarray:
+    """Bicubic-resize a ((2w-1)^2, nH) relative-position-bias table to a new
+    window size (reference swin_ecddp.py:113-133 / main_finetune_cls adapter)."""
+    import jax
+    import jax.numpy as _jnp
+
+    l1, nh = value.shape
+    l2 = target_shape[0]
+    s1, s2 = int(l1 ** 0.5), int(l2 ** 0.5)
+    grid = value.T.reshape(nh, s1, s1)
+    resized = jax.image.resize(
+        _jnp.asarray(grid), (nh, s2, s2), method="cubic"
+    )
+    return np.asarray(resized).reshape(nh, l2).T
+
+
+def _convert(value: np.ndarray, target_shape: tuple, kind: str,
+             torch_key: str = "") -> np.ndarray:
     if kind == "linear" and value.ndim == 2:
         value = value.T
     elif kind == "linear" and value.ndim == 4:
         value = value.transpose(2, 3, 1, 0)
+    if (
+        value.shape != tuple(target_shape)
+        and "relative_position_bias_table" in torch_key
+        and value.ndim == 2
+        and value.shape[1] == target_shape[1]
+    ):
+        value = _resize_rel_pos_table(value, tuple(target_shape))
     if value.shape != tuple(target_shape):
         raise ValueError(
             f"shape mismatch: torch {value.shape} vs flax {tuple(target_shape)}"
@@ -193,7 +228,7 @@ def import_torch_params(
         if torch_key in state_dict:
             used.add(torch_key)
             return jnp.asarray(
-                _convert(state_dict[torch_key], leaf.shape, kind),
+                _convert(state_dict[torch_key], leaf.shape, kind, torch_key),
                 dtype=leaf.dtype,
             )
         missing.append(torch_key)

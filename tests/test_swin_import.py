@@ -69,3 +69,36 @@ def test_swin_key_coverage():
     # every imported leaf is the constant 1.0 tensor
     leaf = new_params["backbone"]["swin_block_0_0"]["attn"]["qkv"]["kernel"]
     np.testing.assert_allclose(np.asarray(leaf), 1.0)
+
+
+def test_ecddp_key_space_and_relpos_resize():
+    from eventpretrain_tpu.ckpt.torch_import import (
+        _flax_path_to_torch_key,
+        _resize_rel_pos_table,
+    )
+
+    class K:
+        def __init__(self, key):
+            self.key = key
+
+        def __hash__(self):
+            return hash(self.key)
+
+        def __eq__(self, other):
+            return getattr(other, "key", other) == self.key
+
+    # ECDDP dialect: backbone_swin wrapper vanished, layers.N key space
+    path = ["backbone", "backbone_swin", "swin_block_1_0", "attn", "qkv",
+            "kernel"]
+    key, kind = _flax_path_to_torch_key(path)
+    assert key == "backbone.layers.1.blocks.0.attn.qkv.weight"
+    path = ["backbone", "backbone_swin", "patch_merging_0", "reduction",
+            "kernel"]
+    key, _ = _flax_path_to_torch_key(path)
+    assert key == "backbone.layers.0.downsample.reduction.weight"
+
+    # rel-pos table resize (2*7-1)^2 -> (2*4-1)^2
+    table = np.random.default_rng(0).normal(size=(169, 3)).astype(np.float32)
+    out = _resize_rel_pos_table(table, (49, 3))
+    assert out.shape == (49, 3)
+    assert np.isfinite(out).all()
