@@ -29,14 +29,17 @@ def synth(b, e, h, w, seed=0):
     return jnp.asarray(ev), jnp.full((b,), e, jnp.int32)
 
 
-def timeit(fn, *args, iters=20, **kw):
-    out = fn(*args, **kw)
+def timeit(fn, arg_sets, **kw):
+    """Each distinct input set is used exactly once: the axon relay caches
+    results for identical (executable, inputs) pairs, so repeated-input
+    timing loops measure nothing."""
+    out = fn(*arg_sets[0], **kw)  # compile warmup (set 0 excluded below)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for args in arg_sets[1:]:
         out = fn(*args, **kw)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+        jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / (len(arg_sets) - 1)
 
 
 def main():
@@ -50,10 +53,10 @@ def main():
     ]
     results = []
     for b, e, h, w, bins in configs:
-        ev, counts = synth(b, e, h, w)
-        gb = ev.nbytes / 1e9
+        arg_sets = [synth(b, e, h, w, seed=s_) for s_ in range(9)]
+        gb = arg_sets[0][0].nbytes / 1e9
         dt_xla = timeit(
-            voxelize_batch_jit, ev, counts, num_bins=bins, height=h, width=w
+            voxelize_batch_jit, arg_sets, num_bins=bins, height=h, width=w
         )
         row = {
             "config": f"B{b}xE{e} {h}x{w}x{bins}",
