@@ -24,7 +24,7 @@ def main():
     from eventpretrain_tpu.train import build_optimizer, TrainState
     from eventpretrain_tpu.train.steps import make_rec_step
 
-    batch = 64
+    batch = 128
     hub = pretrain_hub_base(dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     evg = jnp.asarray(rng.normal(size=(batch, 224, 224, 5)), jnp.float32)
@@ -49,14 +49,15 @@ def main():
 
     key = jax.random.key(0)
     state, metrics = step(state, data, key)  # compile
-    jax.block_until_ready(metrics)
+    float(metrics["loss"])  # value fetch: the only reliable sync on axon
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         key, sub = jax.random.split(key)
         state, metrics = step(state, data, sub)
-    jax.block_until_ready(metrics)
+    # terminal value fetch; the train-state chain forces every step
+    float(metrics["loss"])
     dt = (time.perf_counter() - t0) / iters
 
     samples_per_sec = batch / dt
