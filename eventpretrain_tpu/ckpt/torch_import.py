@@ -259,3 +259,52 @@ def load_torch_backbone_if_needed(path: str, params: Any) -> Any:
         new_params, _, _ = import_torch_params(sd, params)
         return new_params
     return params
+
+
+def init_backbone_from(path: str, params):
+    """Initialize params from a prior checkpoint for stage chaining/finetune.
+
+    Handles both released torch checkpoints (.pth/.pt/.bin via the importer)
+    and this framework's own Orbax checkpoints (a directory): matching
+    subtrees with identical shapes are copied; everything else (fresh heads)
+    keeps its init — the equivalent of the reference's
+    ``load_state_dict(strict=False)`` after surgery (main_finetune_cls.py:380).
+    """
+    if path.endswith((".pth", ".pt", ".bin")):
+        sd = load_torch_state_dict(path)
+        new_params, _, _ = import_torch_params(sd, params)
+        return new_params
+
+    import os
+
+    import jax
+    import orbax.checkpoint as ocp
+
+    from eventpretrain_tpu.train.state import merge_params
+
+    target = os.path.abspath(path)
+    if os.path.isdir(os.path.join(target, "checkpoints")):
+        steps = [d for d in os.listdir(os.path.join(target, "checkpoints"))]
+        num = sorted((int(d) for d in steps if d.isdigit()), reverse=True)
+        name = str(num[0]) if num else steps[0]
+        target = os.path.join(target, "checkpoints", name)
+    with ocp.StandardCheckpointer() as ckptr:
+        prev = ckptr.restore(target)
+    prev_params = prev.get("params", prev)
+
+    copied = [0]
+
+    def graft(new, old):
+        if isinstance(new, dict) and isinstance(old, dict):
+            return {
+                k: graft(new[k], old[k]) if k in old else new[k]
+                for k in new
+            }
+        if getattr(new, "shape", None) == getattr(old, "shape", None):
+            copied[0] += 1
+            return jnp.asarray(old, new.dtype)
+        return new
+
+    out = graft(params, prev_params)
+    print(f"[init_backbone_from] {path}: copied {copied[0]} matching leaves")
+    return out

@@ -50,7 +50,7 @@ from eventpretrain_tpu.train.steps import (
 )
 from eventpretrain_tpu.train.loop import train_one_epoch, evaluate
 from eventpretrain_tpu.ckpt import save_checkpoint, restore_checkpoint
-from eventpretrain_tpu.ckpt.torch_import import load_torch_backbone_if_needed
+from eventpretrain_tpu.ckpt.torch_import import init_backbone_from
 from eventpretrain_tpu.utils.logging import append_log_line, ScalarWriter
 
 
@@ -230,7 +230,7 @@ def main(args=None):
     )
     params = variables["params"]
     if args.finetune:
-        params = load_torch_backbone_if_needed(args.finetune, params)
+        params = init_backbone_from(args.finetune, params)
 
     steps_per_epoch = max(len(train_src) // args.batch_size, 1)
     eff_batch = args.batch_size * args.accum_iter

@@ -32,8 +32,8 @@ from eventpretrain_tpu.train.steps import (
 )
 from eventpretrain_tpu.train.loop import train_one_epoch
 from eventpretrain_tpu.ckpt import save_checkpoint, restore_checkpoint
-from eventpretrain_tpu.ckpt.torch_import import load_torch_backbone_if_needed
-from eventpretrain_tpu.utils.logging import append_log_line
+from eventpretrain_tpu.ckpt.torch_import import init_backbone_from
+from eventpretrain_tpu.utils.logging import append_log_line, ScalarWriter
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -71,6 +71,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
     p.add_argument("--print_freq", type=int, default=20)
+    p.add_argument("--tensorboard", action="store_true")
     return p
 
 
@@ -118,7 +119,7 @@ def main(args=None):
     )
     params = variables["params"]
     if args.finetune:
-        params = load_torch_backbone_if_needed(args.finetune, params)
+        params = init_backbone_from(args.finetune, params)
 
     steps_per_epoch = max(len(train_src) // args.batch_size, 1)
     lr = args.blr * args.batch_size / 256
@@ -145,6 +146,9 @@ def main(args=None):
     )
     eval_step = make_flow_eval_step(hub)
 
+    writer = ScalarWriter(
+        f"{args.output_dir}/tb" if args.tensorboard else None
+    )
     best_aee = {k: float("inf") for k in val_srcs}
     key = jax.random.key(args.seed)
     for epoch in range(args.epochs):
@@ -178,6 +182,7 @@ def main(args=None):
                 save_checkpoint(args.output_dir, state, name=f"best_{split}")
         record["epoch_time_s"] = round(time.time() - t0, 2)
         append_log_line(args.output_dir, record)
+        writer.write({k: v for k, v in record.items() if k != "epoch"}, epoch)
         save_checkpoint(args.output_dir, state)
     print("best AEE per split:", best_aee)
     return best_aee

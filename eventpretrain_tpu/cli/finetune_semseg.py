@@ -44,8 +44,8 @@ from eventpretrain_tpu.eval.metrics import (
     macc_from_confusion,
 )
 from eventpretrain_tpu.ckpt import save_checkpoint, restore_checkpoint
-from eventpretrain_tpu.ckpt.torch_import import load_torch_backbone_if_needed
-from eventpretrain_tpu.utils.logging import MetricLogger, append_log_line
+from eventpretrain_tpu.ckpt.torch_import import init_backbone_from
+from eventpretrain_tpu.utils.logging import MetricLogger, append_log_line, ScalarWriter
 
 HUBS = {
     ("vit", "small"): dense_hub_vit_small,
@@ -89,6 +89,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
     p.add_argument("--print_freq", type=int, default=20)
+    p.add_argument("--tensorboard", action="store_true")
     return p
 
 
@@ -140,7 +141,7 @@ def main(args=None):
     )
     params = variables["params"]
     if args.finetune:
-        params = load_torch_backbone_if_needed(args.finetune, params)
+        params = init_backbone_from(args.finetune, params)
 
     steps_per_epoch = max(len(train_src) // args.batch_size, 1)
     lr = args.blr * args.batch_size / 256
@@ -170,6 +171,9 @@ def main(args=None):
         hub, num_classes=args.num_classes, ignore_label=ignore
     )
 
+    writer = ScalarWriter(
+        f"{args.output_dir}/tb" if args.tensorboard else None
+    )
     best_miou = 0.0
     key = jax.random.key(args.seed)
     for epoch in range(args.epochs):
@@ -189,6 +193,7 @@ def main(args=None):
         miou = float(miou_from_confusion(conf))
         macc = float(macc_from_confusion(conf))
         print(f"epoch {epoch}: mIoU {miou:.2f} mAcc {macc:.2f}")
+        writer.write({**train_metrics, "miou": miou, "macc": macc}, epoch)
         append_log_line(args.output_dir, {
             "epoch": epoch, "miou": miou, "macc": macc,
             **{f"train_{k}": v for k, v in train_metrics.items()},

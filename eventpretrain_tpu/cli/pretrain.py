@@ -41,11 +41,13 @@ from eventpretrain_tpu.train import (
     frozen_except_norm_mask,
     TrainState,
 )
+from eventpretrain_tpu.train.state import merge_params
 from eventpretrain_tpu.train.steps import (
     make_rec_step,
     make_con_step,
     make_rec_and_con_step,
     make_swin_rec_step,
+    make_swin_rec_and_con_step,
 )
 from eventpretrain_tpu.train.loop import train_one_epoch
 from eventpretrain_tpu.ckpt import save_checkpoint, restore_checkpoint
@@ -191,7 +193,7 @@ def main(args=None):
             functools.partial(hub.init, method=hub.forward_con)
         )
         v = init_con(jax.random.key(args.seed), evg0, clip0)
-        params = {**v["params"], **params}
+        params = merge_params(v["params"], params)
         batch_stats = v["batch_stats"]
 
     if args.init_from:
@@ -265,10 +267,19 @@ def main(args=None):
             hub, use_queue=args.use_queue, temperature=args.temperature
         )
     else:
-        step = make_rec_and_con_step(
-            hub, use_queue=args.use_queue, temperature=args.temperature,
-            **common,
-        )
+        if args.backbone == "swin":
+            step = make_swin_rec_and_con_step(
+                hub, cell_grid=int(num_patches ** 0.5),
+                mask_ratio=args.mask_ratio, decoder_patch_size=patch_size,
+                norm_pix_loss=args.norm_pix_loss,
+                input_resolution=args.input_size // 4,
+                use_queue=args.use_queue, temperature=args.temperature,
+            )
+        else:
+            step = make_rec_and_con_step(
+                hub, use_queue=args.use_queue, temperature=args.temperature,
+                **common,
+            )
 
     writer = ScalarWriter(
         f"{args.output_dir}/tb" if args.tensorboard else None

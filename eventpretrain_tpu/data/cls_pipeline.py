@@ -23,7 +23,6 @@ from eventpretrain_tpu.data.event_transforms import (
     random_window,
     erase_and_add_events,
     add_noise_events,
-    pad_events,
 )
 from eventpretrain_tpu.native import pack_event_batch
 from eventpretrain_tpu.data.representations import (

@@ -22,7 +22,6 @@ import jax.numpy as jnp
 
 from eventpretrain_tpu.data.event_transforms import (
     erase_and_add_events,
-    pad_events,
 )
 from eventpretrain_tpu.native import pack_event_batch
 from eventpretrain_tpu.ops.view_augment import (

@@ -53,3 +53,25 @@ class TrainState(struct.PyTreeNode):
             tx=tx,
             apply_fn=apply_fn,
         )
+
+
+def merge_params(*trees):
+    """Recursively merge param trees (later trees win on leaves).
+
+    Needed when a hub is initialized via several methods (forward_rec /
+    forward_con) that each create overlapping-but-different subtrees — a
+    plain dict union would drop e.g. the rec-only stage decode convs inside
+    the shared 'backbone' subtree.
+    """
+    out = {}
+    for tree in trees:
+        for k, v in tree.items():
+            if (
+                k in out
+                and isinstance(out[k], dict)
+                and isinstance(v, dict)
+            ):
+                out[k] = merge_params(out[k], v)
+            else:
+                out[k] = v
+    return out

@@ -598,3 +598,96 @@ def make_ecdp_step(
         }
 
     return step
+
+
+def make_swin_rec_and_con_step(
+    hub,
+    *,
+    cell_grid: int = 7,
+    mask_ratio: float = 0.5,
+    decoder_patch_size: int = 32,
+    norm_pix_loss: bool = True,
+    input_resolution: int = 56,
+    window_size: int = 7,
+    use_queue: bool = False,
+    temperature: float = 0.07,
+) -> Callable:
+    """Combined rec+con step for the sparse Swin backbone (reference
+    pr_rec_and_con_one_epoch with swin, pr_trainer.py:225-304)."""
+    import numpy as np
+
+    from eventpretrain_tpu.models.swin import plans_to_device
+    from eventpretrain_tpu.models.swin_plan import build_swin_plans
+
+    num_cells = cell_grid ** 2
+    len_keep = int(num_cells * (1 - mask_ratio))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def inner(state: TrainState, batch, plans, ids_keep, mask, ids_restore,
+              rng):
+        def loss_fn(params):
+            rng_d1, rng_d2 = jax.random.split(rng)
+            pred, *_ = state.apply_fn(
+                {"params": params}, batch["evg"], ids_keep, ids_restore,
+                deterministic=False, plans=plans, method=hub.forward_rec,
+                rngs={"dropout": rng_d1},
+            )
+            rec = reconstruct_loss(
+                pred, batch["frame"], mask,
+                patch_size=decoder_patch_size,
+                norm_pix_loss=norm_pix_loss, mask_ratio=mask_ratio,
+            )
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            (q, k, *_), updates = state.apply_fn(
+                variables, batch["evg"], batch["clip_emb"], train=True,
+                method=hub.forward_con, rngs={"dropout": rng_d2},
+                mutable=["batch_stats"],
+            )
+            if use_queue:
+                con, new_queue = token_infonce_queue(
+                    q, k, state.queue, temperature
+                )
+            else:
+                con = global_token_infonce(q, k, temperature)
+                new_queue = state.queue
+            return rec + con, (updates["batch_stats"], new_queue, rec, con)
+
+        (loss, (stats, new_queue, rec, con)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(
+            grads, batch_stats=stats, queue=new_queue
+        )
+        return new_state, {
+            "loss": loss, "rec_loss": rec, "con_loss": con,
+            "grad_norm": global_grad_norm(grads),
+        }
+
+    def step(state: TrainState, batch, rng):
+        batch_size = batch["evg"].shape[0]
+        seed = int(jax.random.randint(rng, (), 0, 2 ** 31 - 1))
+        host_rng = np.random.default_rng(seed)
+        noise = host_rng.random(num_cells)
+        ids_shuffle = np.argsort(noise)
+        ids_restore_np = np.argsort(ids_shuffle)
+        ids_keep_np = ids_shuffle[:len_keep]
+        mask_np = np.ones(num_cells, np.float32)
+        mask_np[ids_keep_np] = 0.0
+        plans = plans_to_device(
+            build_swin_plans(
+                mask_np.astype(bool),
+                input_resolution=(input_resolution, input_resolution),
+                window_size=window_size,
+                cell_grid=cell_grid,
+            )
+        )
+        tile = lambda a: jnp.asarray(np.tile(a[None], (batch_size, 1)))
+        return inner(
+            state, batch, plans,
+            tile(ids_keep_np.astype(np.int32)),
+            tile(mask_np),
+            tile(ids_restore_np.astype(np.int32)),
+            rng,
+        )
+
+    return step

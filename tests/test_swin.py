@@ -209,3 +209,54 @@ class TestSwinTraining:
         variables = hub.init(jax.random.key(0), x)
         _, logits, _ = hub.apply(variables, x)
         assert logits.shape == (2, 3)
+
+
+def test_swin_rec_and_con_step():
+    from eventpretrain_tpu.models.pretrain_hub import PrHub
+    from eventpretrain_tpu.models.decoder import RecDecoder
+    from eventpretrain_tpu.objectives import init_queue
+    from eventpretrain_tpu.train import build_optimizer, TrainState
+    from eventpretrain_tpu.train.steps import make_swin_rec_and_con_step
+
+    backbone = tiny_swin(name="backbone")
+    decoder = RecDecoder(
+        patch_size=32, num_patches=4, embed_dim=32, depth=1, num_heads=4,
+        frame_chans=1, name="pretrain_rec_decoder",
+    )
+    hub = PrHub(backbone=backbone, decoder=decoder, embed_dim=128,
+                num_patches=4, mlp_dim=32, clip_emb_dim=16,
+                clip_proj_conv=True)
+    rng = np.random.default_rng(0)
+    evg = jnp.asarray(rng.normal(size=(2, 64, 64, 5)), jnp.float32)
+    frame = jnp.asarray(rng.normal(size=(2, 64, 64, 1)), jnp.float32)
+    clip_emb = jnp.asarray(rng.normal(size=(2, 5, 16)), jnp.float32)
+
+    mask_cells = np.array([False, True, True, False])
+    plans = plans_to_device(build_swin_plans(
+        mask_cells, input_resolution=(16, 16), num_stages=4,
+        window_size=4, cell_grid=2,
+    ))
+    ids_keep = jnp.asarray([[0, 3], [0, 3]], jnp.int32)
+    ids_restore = jnp.asarray([[0, 2, 3, 1], [0, 2, 3, 1]], jnp.int32)
+    rec_vars = hub.init(jax.random.key(0), evg, ids_keep, ids_restore,
+                        plans=plans, method=hub.forward_rec)
+    con_vars = hub.init(jax.random.key(0), evg, clip_emb,
+                        method=hub.forward_con)
+    from eventpretrain_tpu.train.state import merge_params
+
+    params = merge_params(rec_vars["params"], con_vars["params"])
+    tx = build_optimizer(params, learning_rate=1e-3, num_layers=4,
+                         backbone_type="swin")
+    queue = init_queue(jax.random.key(1), 128, 4, 8)
+    state = TrainState.create(
+        apply_fn=hub.apply, params=params,
+        batch_stats=con_vars["batch_stats"], tx=tx, queue=queue,
+    )
+    step = make_swin_rec_and_con_step(
+        hub, cell_grid=2, mask_ratio=0.5, decoder_patch_size=32,
+        input_resolution=16, window_size=4, use_queue=True,
+    )
+    batch = {"evg": evg, "frame": frame, "clip_emb": clip_emb}
+    state, m = step(state, batch, jax.random.key(2))
+    assert np.isfinite(float(m["loss"]))
+    assert np.isfinite(float(m["rec_loss"])) and np.isfinite(float(m["con_loss"]))

@@ -131,3 +131,31 @@ def test_dialect_renames(tmp_path):
     torch.save({"model": sd2}, path2)
     out2 = load_torch_state_dict(str(path2))
     assert "backbone.patch_embed.proj.weight" in out2
+
+
+def test_init_backbone_from_orbax(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from eventpretrain_tpu.models.cls_hub import FtClsHub
+    from eventpretrain_tpu.models.vit import ViT
+    from eventpretrain_tpu.train import build_optimizer, TrainState
+    from eventpretrain_tpu.ckpt import save_checkpoint
+    from eventpretrain_tpu.ckpt.torch_import import init_backbone_from
+
+    backbone = ViT(input_size=32, patch_size=8, embed_dim=48, depth=2,
+                   num_heads=4, num_bins=5, out_indices=(0, 1),
+                   masked_taps=(0, 1), dense_taps=(0, 1), name="backbone")
+    hub = FtClsHub(backbone=backbone, num_classes=3)
+    x = jnp.zeros((1, 32, 32, 5))
+    v1 = hub.init(jax.random.key(0), x)
+    tx = build_optimizer(v1["params"], learning_rate=1e-3, num_layers=2)
+    state = TrainState.create(apply_fn=hub.apply, params=v1["params"], tx=tx)
+    save_checkpoint(str(tmp_path), state)
+
+    # fresh init with a different seed, then graft the saved backbone
+    v2 = hub.init(jax.random.key(9), x)
+    grafted = init_backbone_from(str(tmp_path), v2["params"])
+    a = np.asarray(v1["params"]["backbone"]["vit_block_0"]["attn"]["qkv"]["kernel"])
+    b = np.asarray(grafted["backbone"]["vit_block_0"]["attn"]["qkv"]["kernel"])
+    np.testing.assert_allclose(a, b)
