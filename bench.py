@@ -51,14 +51,18 @@ def main():
     state, metrics = step(state, data, key)  # compile
     float(metrics["loss"])  # value fetch: the only reliable sync on axon
 
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        key, sub = jax.random.split(key)
-        state, metrics = step(state, data, sub)
-    # terminal value fetch; the train-state chain forces every step
-    float(metrics["loss"])
-    dt = (time.perf_counter() - t0) / iters
+    # best of 3 windows: the shared/tunneled chip shows high run variance
+    iters = 10
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, data, sub)
+        # terminal value fetch; the train-state chain forces every step
+        float(metrics["loss"])
+        best = min(best, (time.perf_counter() - t0) / iters)
+    dt = best
 
     samples_per_sec = batch / dt
     print(
