@@ -66,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--w_auxiliary_loss", type=float, default=0.4)
     p.add_argument("--finetune", default=None)
     p.add_argument("--resume", default=None)
+    p.add_argument("--auto_resume", action="store_true",
+                   help="resume from the latest checkpoint in output_dir if "
+                        "present (preemption-safe restarts)")
     p.add_argument("--output_dir", default="./results/finetune_flow")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true", default=True)
@@ -137,6 +140,14 @@ def main(args=None):
         apply_fn=hub.apply, params=params,
         batch_stats=variables.get("batch_stats", {}), tx=tx,
     )
+    if args.auto_resume and not args.resume:
+        import os as _os
+
+        from eventpretrain_tpu.ckpt import latest_step
+
+        if _os.path.isdir(_os.path.join(args.output_dir, "checkpoints")) \
+                and latest_step(args.output_dir) is not None:
+            args.resume = args.output_dir
     if args.resume:
         state = restore_checkpoint(args.resume, state)
 

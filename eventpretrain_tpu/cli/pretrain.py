@@ -89,6 +89,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--init_from", default=None,
                    help="stage chaining: checkpoint (orbax dir or torch .pth)")
     p.add_argument("--resume", default=None)
+    p.add_argument("--auto_resume", action="store_true",
+                   help="resume from the latest checkpoint in output_dir if "
+                        "present (preemption-safe restarts)")
     p.add_argument("--output_dir", default="./results/pretrain")
     p.add_argument("--save_model_freq", type=int, default=20)
     p.add_argument("--seed", type=int, default=0)
@@ -243,6 +246,14 @@ def main(args=None):
         apply_fn=hub.apply, params=params, batch_stats=batch_stats,
         tx=tx, queue=queue,
     )
+    if args.auto_resume and not args.resume:
+        import os as _os
+
+        from eventpretrain_tpu.ckpt import latest_step
+
+        if _os.path.isdir(_os.path.join(args.output_dir, "checkpoints")) \
+                and latest_step(args.output_dir) is not None:
+            args.resume = args.output_dir
     if args.resume:
         state = restore_checkpoint(args.resume, state)
         print(f"resumed from {args.resume} at step {int(state.step)}")
@@ -414,6 +425,14 @@ def main_ecdp(args):
         batch_stats=variables["batch_stats"], tx=tx, queue=queue,
         ema_params=ema0,
     )
+    if args.auto_resume and not args.resume:
+        import os as _os
+
+        from eventpretrain_tpu.ckpt import latest_step
+
+        if _os.path.isdir(_os.path.join(args.output_dir, "checkpoints")) \
+                and latest_step(args.output_dir) is not None:
+            args.resume = args.output_dir
     if args.resume:
         state = restore_checkpoint(args.resume, state)
 

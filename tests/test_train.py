@@ -246,3 +246,35 @@ def test_prefetcher_order_and_errors():
 
     with _pytest.raises(ValueError):
         list(Prefetcher(gen()))
+
+
+def test_training_is_deterministic():
+    # same seeds -> identical losses across two fresh runs (the reference only
+    # pins global seeds; here determinism is structural via explicit keys)
+    def run():
+        hub = tiny_hub()
+        rng = np.random.default_rng(0)
+        evg = jnp.asarray(rng.normal(size=(4, 32, 32, 5)), jnp.float32)
+        frame = jnp.asarray(rng.normal(size=(4, 32, 32, 1)), jnp.float32)
+        variables = hub.init(
+            jax.random.key(0), evg,
+            jnp.arange(4)[None].repeat(4, 0),
+            jnp.arange(16)[None].repeat(4, 0),
+            method=hub.forward_rec,
+        )
+        tx = build_optimizer(variables["params"], learning_rate=1e-3,
+                             num_layers=4)
+        state = TrainState.create(
+            apply_fn=hub.apply, params=variables["params"], tx=tx
+        )
+        step = make_rec_step(hub, patch_size=8, num_patches=16,
+                             mask_ratio=0.75)
+        losses = []
+        key = jax.random.key(7)
+        for _ in range(3):
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, {"evg": evg, "frame": frame}, sub)
+            losses.append(float(metrics["loss"]))
+        return losses
+
+    np.testing.assert_allclose(run(), run(), rtol=0, atol=0)
