@@ -102,3 +102,61 @@ def test_ecddp_key_space_and_relpos_resize():
     out = _resize_rel_pos_table(table, (49, 3))
     assert out.shape == (49, 3)
     assert np.isfinite(out).all()
+
+
+def test_window_attention_forward_parity():
+    """One full 7x7 window: our planned WindowAttention == explicit torch
+    computation with the same relative-position-bias gather
+    (reference swin_block.py:74-158)."""
+    import torch
+    import torch.nn as tnn
+
+    from eventpretrain_tpu.models.swin import WindowAttention
+    from eventpretrain_tpu.models.swin_plan import make_group_plan, visible_coords
+
+    dim, heads, ws = 24, 3, 7
+    n = ws * ws
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 1, n, dim)).astype(np.float32)
+
+    attn = WindowAttention(num_heads=heads, window_size=ws)
+    coords = visible_coords(None, (ws, ws), 1)
+    plan = make_group_plan(coords, ws, 0)
+    variables = attn.init(
+        jax.random.key(0), jnp.asarray(x), jnp.asarray(plan.attn_mask),
+        jnp.asarray(plan.rel_pos_idx),
+    )
+    # give the zero-init-prone params real values
+    params = jax.tree.map(
+        lambda p: jnp.asarray(rng.normal(size=p.shape) * 0.05, p.dtype),
+        variables["params"],
+    )
+    got = attn.apply(
+        {"params": params}, jnp.asarray(x), jnp.asarray(plan.attn_mask),
+        jnp.asarray(plan.rel_pos_idx),
+    )
+
+    # torch explicit computation with identical weights
+    qkv_w = torch.from_numpy(np.asarray(params["qkv"]["kernel"]).T.copy())
+    qkv_b = torch.from_numpy(np.asarray(params["qkv"]["bias"]).copy())
+    proj_w = torch.from_numpy(np.asarray(params["proj"]["kernel"]).T.copy())
+    proj_b = torch.from_numpy(np.asarray(params["proj"]["bias"]).copy())
+    table = torch.from_numpy(
+        np.asarray(params["relative_position_bias_table"]).copy()
+    )
+    xt = torch.from_numpy(x[0])  # (1, n, dim)
+    qkv = torch.nn.functional.linear(xt, qkv_w, qkv_b)
+    qkv = qkv.reshape(1, n, 3, heads, dim // heads).permute(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    q = q * (dim // heads) ** -0.5
+    a = q @ k.transpose(-2, -1)
+    idx = torch.from_numpy(np.asarray(plan.rel_pos_idx[0]))
+    bias = table[idx.reshape(-1)].reshape(n, n, heads).permute(2, 0, 1)
+    a = a + bias[None]
+    a = a.softmax(dim=-1)
+    out = (a @ v).transpose(1, 2).reshape(1, n, dim)
+    want = torch.nn.functional.linear(out, proj_w, proj_b).numpy()
+
+    np.testing.assert_allclose(
+        np.asarray(got)[0, 0], want[0], rtol=2e-4, atol=2e-5
+    )

@@ -159,3 +159,62 @@ def test_init_backbone_from_orbax(tmp_path):
     a = np.asarray(v1["params"]["backbone"]["vit_block_0"]["attn"]["qkv"]["kernel"])
     b = np.asarray(grafted["backbone"]["vit_block_0"]["attn"]["qkv"]["kernel"])
     np.testing.assert_allclose(a, b)
+
+
+class TorchConvBlock(tnn.Module):
+    """Reference conv_block.py:25-51 formula."""
+
+    def __init__(self, dim, k=5):
+        super().__init__()
+        self.norm1 = tnn.LayerNorm(dim)
+        self.conv1 = tnn.Conv2d(dim, dim, 1)
+        self.attn = tnn.Conv2d(dim, dim, k, padding=k // 2, groups=dim)
+        self.conv2 = tnn.Conv2d(dim, dim, 1)
+        self.norm2 = tnn.LayerNorm(dim)
+        self.mlp = tnn.Module()
+        self.mlp.fc1 = tnn.Conv2d(dim, dim * 4, 1)
+        self.mlp.fc2 = tnn.Conv2d(dim * 4, dim, 1)
+
+    def forward(self, x):  # (B, C, H, W)
+        y = self.norm1(x.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+        x = x + self.conv2(self.attn(self.conv1(y)))
+        y = self.norm2(x.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+        x = x + self.mlp.fc2(tnn.functional.gelu(self.mlp.fc1(y)))
+        return x
+
+
+def test_conv_block_forward_parity():
+    from eventpretrain_tpu.models.convvit import ConvBlock
+    from eventpretrain_tpu.ckpt.torch_import import import_torch_params
+
+    torch.manual_seed(0)
+    dim = 16
+    tblk = TorchConvBlock(dim).eval()
+    # initialize convs with nonzero weights
+    for m in tblk.modules():
+        if isinstance(m, tnn.Conv2d):
+            tnn.init.normal_(m.weight, std=0.05)
+            tnn.init.normal_(m.bias, std=0.01)
+
+    x = np.random.default_rng(0).normal(size=(2, dim, 8, 8)).astype(np.float32)
+    with torch.no_grad():
+        want = tblk(torch.from_numpy(x)).numpy()
+
+    fblk = ConvBlock(kernel_size=5, name="conv_block1_0")
+    variables = fblk.init(
+        jax.random.key(0), jnp.zeros((1, 8, 8, dim))
+    )
+    sd = {
+        "conv_block1.0." + k: v.numpy() for k, v in tblk.state_dict().items()
+    }
+    new_params, missing, unused = import_torch_params(
+        sd, {"conv_block1_0": variables["params"]}, verbose=False
+    )
+    assert not missing and not unused, (missing, unused)
+    got = fblk.apply(
+        {"params": new_params["conv_block1_0"]},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), want, rtol=2e-4, atol=2e-5
+    )
