@@ -24,7 +24,7 @@ from eventpretrain_tpu.data.event_transforms import (
     erase_and_add_events,
     add_noise_events,
 )
-from eventpretrain_tpu.native import pack_event_batch
+from eventpretrain_tpu.native import pack_event_batch, augment_pack_event_batch
 from eventpretrain_tpu.data.representations import (
     build_representation,
     normalize_representation,
@@ -120,29 +120,37 @@ class ClsPipeline:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _prepare_sample(self, index: int):
+    def _augmenting(self) -> bool:
+        cfg = self.cfg
+        return (self.train and cfg.stream_augment) or (
+            not self.train and cfg.event_noise
+        )
+
+    def _load_sample(self, index: int):
+        """Returns (raw float32 stream, (start, end) window, (h, w), label)."""
         cfg = self.cfg
         events, label = self.source.load(index)
-        events = np.asarray(events, np.float64)
+        events = np.ascontiguousarray(events, np.float32)
         cap = cfg.fix_events_num if self.train else cfg.val_fix_events_num
         start, end = random_window(self.rng, events.shape[0], cap)
-        events = events[start:end]
 
         if cfg.infer_sensor_size:
-            sensor_h = int(events[:, 1].max()) + 1
-            sensor_w = int(events[:, 0].max()) + 1
+            view = events[start:end]
+            sensor_h = int(view[:, 1].max()) + 1
+            sensor_w = int(view[:, 0].max()) + 1
         else:
             sensor_h, sensor_w = cfg.canvas_height, cfg.canvas_width
         sensor_h = min(sensor_h, cfg.canvas_height)
         sensor_w = min(sensor_w, cfg.canvas_width)
+        return events, (start, end), (sensor_h, sensor_w), label
 
-        if (self.train and cfg.stream_augment) or (
-            not self.train and cfg.event_noise
-        ):
-            events = erase_and_add_events(
-                self.rng, events, (sensor_h, sensor_w)
-            )
-        return events.astype(np.float32), (sensor_h, sensor_w), label
+    def _prepare_sample(self, index: int):
+        """Python fallback path: window + augment one sample."""
+        events, (start, end), hw, label = self._load_sample(index)
+        events = events[start:end].astype(np.float64)
+        if self._augmenting():
+            events = erase_and_add_events(self.rng, events, hw)
+        return events.astype(np.float32), hw, label
 
     def _sample_view(self, sensor_hw: Sequence[tuple[int, int]]) -> ViewParams:
         cfg = self.cfg
@@ -178,17 +186,45 @@ class ClsPipeline:
             idx = order[b * bs : (b + 1) * bs]
             if len(idx) < bs:  # pad tail batch by wrapping (eval keeps labels)
                 idx = np.concatenate([idx, order[: bs - len(idx)]])
-            streams, hws, labels = [], [], []
-            for i in idx:
-                stream, hw, label = self._prepare_sample(int(i))
-                streams.append(stream)
-                hws.append(hw)
-                labels.append(label)
-            # native multithreaded pack (eventpretrain_tpu/native)
             self._pack_i ^= 1
-            packed, counts = pack_event_batch(
-                streams, cap, out=self._pack_buffers[self._pack_i]
-            )
+            if self._augmenting():
+                # fused native augment+pack (single pass, thread-parallel);
+                # numpy per-sample fallback when the library is unavailable
+                streams, windows, hws, labels = [], [], [], []
+                for i in idx:
+                    stream, window, hw, label = self._load_sample(int(i))
+                    streams.append(stream)
+                    windows.append(window)
+                    hws.append(hw)
+                    labels.append(label)
+                seeds = self.rng.integers(0, 2 ** 63, len(idx))
+                native_out = augment_pack_event_batch(
+                    streams, windows, hws, cap, seeds,
+                    out=self._pack_buffers[self._pack_i],
+                )
+                if native_out is not None:
+                    packed, counts = native_out
+                else:
+                    py_streams = [
+                        erase_and_add_events(
+                            self.rng,
+                            s[w[0]:w[1]].astype(np.float64), hw
+                        ).astype(np.float32)
+                        for s, w, hw in zip(streams, windows, hws)
+                    ]
+                    packed, counts = pack_event_batch(
+                        py_streams, cap, out=self._pack_buffers[self._pack_i]
+                    )
+            else:
+                streams, hws, labels = [], [], []
+                for i in idx:
+                    stream, hw, label = self._prepare_sample(int(i))
+                    streams.append(stream)
+                    hws.append(hw)
+                    labels.append(label)
+                packed, counts = pack_event_batch(
+                    streams, cap, out=self._pack_buffers[self._pack_i]
+                )
             self._pack_buffers[self._pack_i] = packed
             params = self._sample_view(hws)
             evg = _device_preprocess(

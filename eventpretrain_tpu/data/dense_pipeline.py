@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from eventpretrain_tpu.data.event_transforms import (
     erase_and_add_events,
 )
-from eventpretrain_tpu.native import pack_event_batch
+from eventpretrain_tpu.native import pack_event_batch, augment_pack_event_batch
 from eventpretrain_tpu.ops.view_augment import (
     ViewParams,
     sample_view_params,

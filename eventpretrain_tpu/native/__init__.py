@@ -123,3 +123,72 @@ def pack_event_batch(
         counts.ctypes.data_as(ctypes.c_void_p),
     )
     return out, counts
+
+
+def _bind_augment(lib):
+    if getattr(lib, "_augment_bound", False):
+        return
+    lib.augment_and_pack_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+    ]
+    lib.augment_and_pack_batch.restype = None
+    lib._augment_bound = True
+
+
+def augment_pack_event_batch(
+    streams: Sequence[np.ndarray],
+    windows: Sequence[tuple[int, int]],
+    sensor_hws: Sequence[tuple[float, float]],
+    capacity: int,
+    seeds: Sequence[int],
+    out: Optional[np.ndarray] = None,
+) -> Optional[tuple[np.ndarray, np.ndarray]]:
+    """Fused erase_and_add augmentation + packing (native only).
+
+    streams: raw float32 (N, 4) xytp arrays; windows: (start, end) row ranges
+    to augment; sensor_hws: per-sample (h, w); seeds: per-sample RNG seeds.
+    Returns None when the native library is unavailable (caller falls back to
+    the numpy path).
+    """
+    lib = _get_lib()
+    if lib is None or not hasattr(lib, "augment_and_pack_batch"):
+        return None
+    _bind_augment(lib)
+
+    batch = len(streams)
+    starts = np.asarray([w[0] for w in windows], np.int64)
+    lengths = np.asarray(
+        [w[1] - w[0] for w in windows], np.int64
+    )
+    hs = np.asarray([s[0] for s in sensor_hws], np.float32)
+    ws = np.asarray([s[1] for s in sensor_hws], np.float32)
+    seed_arr = np.asarray(seeds, np.uint64)
+    contig = [np.ascontiguousarray(s, np.float32) for s in streams]
+    if out is None or out.shape != (batch, capacity, 4):
+        out = np.empty((batch, capacity, 4), np.float32)
+    counts = np.empty(batch, np.int32)
+    ptrs = (ctypes.c_void_p * batch)(
+        *[s.ctypes.data_as(ctypes.c_void_p).value for s in contig]
+    )
+    lib.augment_and_pack_batch(
+        ptrs,
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        hs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ws.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        seed_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        batch,
+        capacity,
+        out.ctypes.data_as(ctypes.c_void_p),
+        counts.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out, counts

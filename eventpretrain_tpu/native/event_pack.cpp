@@ -63,3 +63,119 @@ void pack_event_batch(const float** event_ptrs, const int64_t* starts,
 }
 
 }  // extern "C"
+
+#include <random>
+#include <unordered_set>
+
+extern "C" {
+
+// Fused erase_and_add augmentation + packing (one pass per sample).
+//
+// Distributional parity with dataset/augmentation/events_augment.py:28-55:
+// erase a uniform subset of size U[0.001n, 0.01n); add the same order of
+// events copied from uniformly-chosen originals with N(0,1.5) spatial and
+// N(0,1e-3) temporal jitter, coords clipped to the sensor; output stays
+// time-sorted (adds are merge-inserted). RNG is std::mt19937_64 per sample
+// (seeded by the caller), not numpy PCG — same distribution, different
+// stream.
+void augment_and_pack_batch(const float** event_ptrs, const int64_t* starts,
+                            const int64_t* lengths, const float* sensor_hs,
+                            const float* sensor_ws, const uint64_t* seeds,
+                            int64_t batch, int64_t capacity, float* out,
+                            int32_t* counts) {
+  const int64_t rf = 4;
+  int num_threads = std::min<int64_t>(
+      batch, std::max(1u, std::thread::hardware_concurrency()));
+  std::atomic<int64_t> next(0);
+
+  auto worker = [&]() {
+    int64_t i;
+    while ((i = next.fetch_add(1)) < batch) {
+      float* dst = out + i * capacity * rf;
+      const float* src = event_ptrs[i] + starts[i] * rf;
+      int64_t n = lengths[i];
+      const float h = sensor_hs[i], w = sensor_ws[i];
+
+      if (n / 100 <= 0) {  // too short: plain copy (reference :31)
+        int64_t m = std::min(n, capacity);
+        std::memcpy(dst, src, static_cast<size_t>(m) * rf * sizeof(float));
+        std::memset(dst + m * rf, 0,
+                    static_cast<size_t>(capacity - m) * rf * sizeof(float));
+        counts[i] = static_cast<int32_t>(m);
+        continue;
+      }
+
+      std::mt19937_64 gen(seeds[i]);
+      const int64_t lo = n / 1000, hi = n / 100;
+      std::uniform_int_distribution<int64_t> num_dist(lo, hi - 1);
+      const int64_t erase_num = num_dist(gen);
+      const int64_t add_num = num_dist(gen);
+
+      // Floyd's sampling without replacement
+      auto sample_set = [&](int64_t k) {
+        std::unordered_set<int64_t> s;
+        s.reserve(k * 2);
+        for (int64_t j = n - k; j < n; ++j) {
+          std::uniform_int_distribution<int64_t> d(0, j);
+          int64_t t = d(gen);
+          if (!s.insert(t).second) s.insert(j);
+        }
+        return s;
+      };
+      std::unordered_set<int64_t> erase = sample_set(erase_num);
+      std::unordered_set<int64_t> add_src_set = sample_set(add_num);
+
+      std::normal_distribution<float> jxy(0.0f, 1.5f);
+      std::normal_distribution<float> jt(0.0f, 0.001f);
+      struct Ev { float x, y, t, p; };
+      std::vector<Ev> adds;
+      adds.reserve(add_num);
+      for (int64_t idx : add_src_set) {
+        const float* e = src + idx * rf;
+        Ev a;
+        a.x = std::min(std::max(e[0] + jxy(gen), 0.0f), w - 1.0f);
+        a.y = std::min(std::max(e[1] + jxy(gen), 0.0f), h - 1.0f);
+        a.t = e[2] + jt(gen);
+        a.p = e[3];
+        adds.push_back(a);
+      }
+      std::sort(adds.begin(), adds.end(),
+                [](const Ev& a, const Ev& b) { return a.t < b.t; });
+
+      // merge kept events with sorted adds, truncating at capacity
+      int64_t written = 0;
+      size_t ai = 0;
+      for (int64_t j = 0; j < n && written < capacity; ++j) {
+        if (erase.count(j)) continue;
+        const float* e = src + j * rf;
+        while (ai < adds.size() && adds[ai].t <= e[2] &&
+               written < capacity) {
+          float* o = dst + written * rf;
+          o[0] = adds[ai].x; o[1] = adds[ai].y;
+          o[2] = adds[ai].t; o[3] = adds[ai].p;
+          ++ai; ++written;
+        }
+        if (written >= capacity) break;
+        std::memcpy(dst + written * rf, e, rf * sizeof(float));
+        ++written;
+      }
+      while (ai < adds.size() && written < capacity) {
+        float* o = dst + written * rf;
+        o[0] = adds[ai].x; o[1] = adds[ai].y;
+        o[2] = adds[ai].t; o[3] = adds[ai].p;
+        ++ai; ++written;
+      }
+      std::memset(dst + written * rf, 0,
+                  static_cast<size_t>(capacity - written) * rf *
+                      sizeof(float));
+      counts[i] = static_cast<int32_t>(written);
+    }
+  };
+
+  std::vector<std::thread> threads;
+  threads.reserve(num_threads);
+  for (int t = 0; t < num_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+}
+
+}  // extern "C"

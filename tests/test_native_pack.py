@@ -58,3 +58,35 @@ def test_padding_zeroed(rng):
     assert counts[0] == 10
     assert (out[0, 10:] == 0).all()
     assert (out[0, :10] == 1).all()
+
+
+def test_augment_pack_batch(rng):
+    streams = _streams(rng, batch=6, max_n=20000)
+    windows = [(0, s.shape[0]) for s in streams]
+    hws = [(48.0, 64.0)] * 6
+    out = native.augment_pack_event_batch(
+        streams, windows, hws, 16000, seeds=list(range(6))
+    )
+    assert out is not None, "native augment path unavailable"
+    packed, counts = out
+    for i, s in enumerate(streams):
+        n = s.shape[0]
+        c = int(counts[i])
+        if n // 100 > 0:
+            # length changed within [n - 0.01n, n + 0.01n] (or capped)
+            assert abs(c - min(n, 16000)) <= max(n // 100 + 1, 1)
+        ts = packed[i, :c, 2]
+        assert (np.diff(ts) >= 0).all(), f"sample {i} not time-sorted"
+        assert packed[i, :c, 0].min() >= 0
+        assert packed[i, :c, 0].max() <= 63
+        assert (packed[i, c:] == 0).all()
+    # deterministic per seed
+    out2 = native.augment_pack_event_batch(
+        streams, windows, hws, 16000, seeds=list(range(6))
+    )
+    np.testing.assert_array_equal(packed, out2[0])
+    # different seeds differ
+    out3 = native.augment_pack_event_batch(
+        streams, windows, hws, 16000, seeds=[99] * 6
+    )
+    assert not np.array_equal(packed, out3[0])
