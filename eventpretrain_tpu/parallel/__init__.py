@@ -3,4 +3,5 @@ from eventpretrain_tpu.parallel.mesh import (
     shard_batch,
     replicate,
     data_sharding,
+    HostShardedSource,
 )

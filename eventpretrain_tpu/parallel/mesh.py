@@ -48,3 +48,34 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     """Replicate a pytree (params / optimizer state) across the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+class HostShardedSource:
+    """Per-host shard of a dataset source for multi-host training.
+
+    The TPU-native replacement for DistributedSampler (reference
+    main_pretrain.py:218): each host feeds only its slice of the global
+    batch; under a data mesh jit assembles the global batch from per-host
+    shards. Wrap any indexable source:
+
+        source = HostShardedSource(source, jax.process_index(),
+                                   jax.process_count())
+    """
+
+    def __init__(self, source, process_index: int = None,
+                 process_count: int = None):
+        self.source = source
+        self.process_index = (
+            jax.process_index() if process_index is None else process_index
+        )
+        self.process_count = (
+            jax.process_count() if process_count is None else process_count
+        )
+
+    def __len__(self) -> int:
+        return len(self.source) // self.process_count
+
+    def load(self, index: int):
+        return self.source.load(
+            index * self.process_count + self.process_index
+        )

@@ -278,3 +278,20 @@ def test_training_is_deterministic():
         return losses
 
     np.testing.assert_allclose(run(), run(), rtol=0, atol=0)
+
+
+def test_host_sharded_source():
+    from eventpretrain_tpu.parallel import HostShardedSource
+
+    class Src:
+        def __len__(self):
+            return 10
+
+        def load(self, i):
+            return i
+
+    a = HostShardedSource(Src(), 0, 2)
+    b = HostShardedSource(Src(), 1, 2)
+    assert len(a) == len(b) == 5
+    assert [a.load(i) for i in range(5)] == [0, 2, 4, 6, 8]
+    assert [b.load(i) for i in range(5)] == [1, 3, 5, 7, 9]
