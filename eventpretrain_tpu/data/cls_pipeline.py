@@ -24,6 +24,7 @@ from eventpretrain_tpu.data.event_transforms import (
     erase_and_add_events,
     add_noise_events,
 )
+from eventpretrain_tpu.data.codec import encode_events_u16, decode_events_u16
 from eventpretrain_tpu.native import pack_event_batch, augment_pack_event_batch
 from eventpretrain_tpu.data.representations import (
     build_representation,
@@ -60,6 +61,7 @@ class ClsDataConfig:
     event_noise: bool = False       # robustness eval (--val_event_noise)
     stream_augment: bool = True     # erase_and_add in training
     use_evrep: bool = False         # EvRepSL 3-channel representation
+    compact_transfer: bool = True   # uint16 event codec (see data/codec.py)
 
 
 @functools.partial(
@@ -79,7 +81,10 @@ def _device_preprocess(
     out_size: int,
     mode: str,
     use_evrep: bool = False,
+    t_range=None,
 ):
+    if events.dtype == jnp.uint16:
+        events = decode_events_u16(events, t_range)
     evg = build_representation(
         events, counts, num_bins=num_bins, height=height, width=width,
         sensor_hw=sensor_hw, use_evrep=use_evrep,
@@ -227,8 +232,15 @@ class ClsPipeline:
                 )
             self._pack_buffers[self._pack_i] = packed
             params = self._sample_view(hws)
+            if cfg.compact_transfer and not cfg.use_evrep:
+                enc, t_range = encode_events_u16(packed, counts)
+                dev_events = jnp.asarray(enc)
+                dev_t_range = jnp.asarray(t_range)
+            else:
+                dev_events = jnp.asarray(packed)
+                dev_t_range = jnp.zeros((len(counts), 2), jnp.float32)
             evg = _device_preprocess(
-                jnp.asarray(packed),
+                dev_events,
                 jnp.asarray(counts),
                 jnp.asarray(np.asarray(hws, np.int32)),
                 params,
@@ -238,6 +250,7 @@ class ClsPipeline:
                 out_size=cfg.input_size,
                 mode=cfg.resize_mode,
                 use_evrep=cfg.use_evrep,
+                t_range=dev_t_range,
             )
             yield {
                 "evg": evg,
@@ -284,17 +297,27 @@ class SyntheticClsSource:
         num_events: int = 3000,
         sensor_hw: tuple[int, int] = (100, 120),
         seed: int = 0,
+        cache: bool = False,
     ):
         self.num_classes = num_classes
         self.n = num_classes * samples_per_class
         self.num_events = num_events
         self.sensor_hw = sensor_hw
         self.seed = seed
+        self._cache: dict | None = {} if cache else None
 
     def __len__(self) -> int:
         return self.n
 
     def load(self, index: int) -> tuple[np.ndarray, int]:
+        if self._cache is not None and index in self._cache:
+            return self._cache[index]
+        out = self._generate(index)
+        if self._cache is not None:
+            self._cache[index] = out
+        return out
+
+    def _generate(self, index: int) -> tuple[np.ndarray, int]:
         rng = np.random.default_rng(self.seed + index)
         label = index % self.num_classes
         h, w = self.sensor_hw

@@ -1,0 +1,67 @@
+"""Compact event transfer codec: f32 xytp -> uint16 quads (2x fewer bytes).
+
+Host->device bandwidth is the end-to-end bottleneck for event pipelines
+(measured ~55 MB/s through this environment's relay; 30 MB of f32 events per
+batch-64). Events tolerate aggressive quantization for rasterization:
+
+  x, y : fixed-point with 4 fractional bits (1/16 px; rasterizers floor to
+         integer pixels, so only events within 1/16 px of a pixel boundary
+         can move by one pixel)
+  t    : per-sample normalized to [0, 65535] over the window — the voxelizer
+         itself normalizes timestamps over the window (ops/events.py), so
+         this loses at most (num_bins-1)/65536 of a bin in bilinear weights;
+         count images ignore t entirely
+  p    : {-1, 0, 1} -> {0, 1, 2}
+
+NOT used for EvRep (its temporal channel needs absolute-time deltas) — the
+pipelines fall back to f32 transfer there.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+COORD_SCALE = 16.0
+T_SCALE = 65535.0
+
+
+def encode_events_u16(
+    packed: np.ndarray, counts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(B, E, 4) f32 xytp + (B,) counts -> ((B, E, 4) uint16, (B, 2) f32 t-range)."""
+    b, e, _ = packed.shape
+    out = np.empty((b, e, 4), np.uint16)
+    t_range = np.empty((b, 2), np.float32)
+    for i in range(b):
+        n = int(counts[i])
+        ev = packed[i, :n]
+        out[i, :n, 0] = np.clip(ev[:, 0] * COORD_SCALE + 0.5, 0, 65535)
+        out[i, :n, 1] = np.clip(ev[:, 1] * COORD_SCALE + 0.5, 0, 65535)
+        if n > 0:
+            t0, t1 = float(ev[0, 2]), float(ev[n - 1, 2])
+        else:
+            t0 = t1 = 0.0
+        dt = (t1 - t0) or 1.0
+        out[i, :n, 2] = np.clip(
+            (ev[:, 2] - t0) / dt * T_SCALE + 0.5, 0, 65535
+        )
+        out[i, :n, 3] = (ev[:, 3] + 1).astype(np.uint16)
+        out[i, n:] = 0
+        t_range[i] = (t0, t1)
+    return out, t_range
+
+
+def decode_events_u16(encoded: jax.Array, t_range: jax.Array) -> jax.Array:
+    """Device-side inverse -> (B, E, 4) f32 xytp (t mapped back to its window)."""
+    enc = encoded.astype(jnp.float32)
+    x = enc[..., 0] / COORD_SCALE
+    y = enc[..., 1] / COORD_SCALE
+    t0 = t_range[:, 0:1]
+    t1 = t_range[:, 1:2]
+    t = t0 + enc[..., 2] / T_SCALE * (t1 - t0)
+    p = enc[..., 3] - 1.0
+    return jnp.stack([x, y, t, p], axis=-1)

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from eventpretrain_tpu.data.event_transforms import (
     erase_and_add_events,
 )
+from eventpretrain_tpu.data.codec import encode_events_u16, decode_events_u16
 from eventpretrain_tpu.native import pack_event_batch, augment_pack_event_batch
 from eventpretrain_tpu.ops.view_augment import (
     ViewParams,
@@ -56,6 +57,7 @@ class DenseDataConfig:
     crop_min: float = 0.8
     stream_augment: bool = True
     label_size: Optional[tuple[int, int]] = None  # None = input_size
+    compact_transfer: bool = True   # uint16 event codec (data/codec.py)
 
 
 @functools.partial(
@@ -66,10 +68,12 @@ class DenseDataConfig:
 def _device_preprocess(
     events, counts, labels, valid, params: ViewParams, *,
     num_bins: int, height: int, width: int, out_size: int, task: str,
-    label_h: int, label_w: int,
+    label_h: int, label_w: int, t_range=None,
 ):
     from eventpretrain_tpu.data.representations import build_representation
 
+    if events.dtype == jnp.uint16:
+        events = decode_events_u16(events, t_range)
     evg = build_representation(
         events, counts, num_bins=num_bins, height=height, width=width
     )
@@ -150,8 +154,15 @@ class DensePipeline:
             valid_arr = (
                 jnp.asarray(np.stack(valids)) if valids else jnp.zeros(())
             )
+            if cfg.compact_transfer:
+                enc, t_range = encode_events_u16(packed, counts)
+                dev_events = jnp.asarray(enc)
+                dev_t_range = jnp.asarray(t_range)
+            else:
+                dev_events = jnp.asarray(packed)
+                dev_t_range = jnp.zeros((len(counts), 2), jnp.float32)
             yield _device_preprocess(
-                jnp.asarray(packed),
+                dev_events,
                 jnp.asarray(counts),
                 labels_arr,
                 valid_arr,
@@ -163,6 +174,7 @@ class DensePipeline:
                 task=cfg.task,
                 label_h=label_hw[0],
                 label_w=label_hw[1],
+                t_range=dev_t_range,
             )
 
 

@@ -159,3 +159,50 @@ class TestViewAugment:
         a = apply_view_augment(evg, params, (32, 32), "nearest")
         b = apply_semseg_label_augment(label, params, (32, 32))
         np.testing.assert_allclose(np.asarray(a[..., 0]), np.asarray(b), atol=1e-6)
+
+
+class TestCodec:
+    def test_roundtrip_precision(self, rng):
+        from eventpretrain_tpu.data.codec import (
+            encode_events_u16, decode_events_u16,
+        )
+        import jax.numpy as jnp
+
+        n = 5000
+        ev = np.stack([
+            rng.uniform(0, 640, n), rng.uniform(0, 480, n),
+            np.sort(rng.uniform(1e6, 2e6, n)), rng.integers(0, 2, n),
+        ], 1).astype(np.float32)
+        packed = ev[None]
+        counts = np.asarray([n], np.int32)
+        enc, t_range = encode_events_u16(packed, counts)
+        dec = np.asarray(decode_events_u16(jnp.asarray(enc),
+                                           jnp.asarray(t_range)))
+        np.testing.assert_allclose(dec[0, :, 0], ev[:, 0], atol=1 / 16)
+        np.testing.assert_allclose(dec[0, :, 1], ev[:, 1], atol=1 / 16)
+        # t error bounded by window/65535
+        np.testing.assert_allclose(
+            dec[0, :, 2], ev[:, 2], atol=(1e6 / 65535) * 1.01
+        )
+        np.testing.assert_array_equal(dec[0, :, 3], ev[:, 3])
+
+    def test_voxel_grid_equivalence(self, rng):
+        from eventpretrain_tpu.data.codec import (
+            encode_events_u16, decode_events_u16,
+        )
+        from eventpretrain_tpu.ops.events import events_to_voxel_grid
+        import jax.numpy as jnp
+
+        n, h, w = 2000, 48, 64
+        ev = np.stack([
+            rng.integers(0, w, n), rng.integers(0, h, n),
+            np.sort(rng.uniform(0, 1, n)), rng.integers(0, 2, n),
+        ], 1).astype(np.float32)
+        enc, t_range = encode_events_u16(ev[None], np.asarray([n], np.int32))
+        dec = decode_events_u16(jnp.asarray(enc), jnp.asarray(t_range))[0]
+        a = events_to_voxel_grid(jnp.asarray(ev), jnp.int32(n),
+                                 num_bins=5, height=h, width=w)
+        b = events_to_voxel_grid(dec, jnp.int32(n),
+                                 num_bins=5, height=h, width=w)
+        # bilinear weights differ by <= 4*(num_bins-1)/65536 per event
+        assert float(jnp.abs(a - b).max()) < 0.01
