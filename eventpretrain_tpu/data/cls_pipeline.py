@@ -24,7 +24,7 @@ from eventpretrain_tpu.data.event_transforms import (
     erase_and_add_events,
     add_noise_events,
 )
-from eventpretrain_tpu.data.codec import encode_events_u16, decode_events_u16
+from eventpretrain_tpu.data.codec import encode_for_transfer, decode_events_u16
 from eventpretrain_tpu.native import pack_event_batch, augment_pack_event_batch
 from eventpretrain_tpu.data.representations import (
     build_representation,
@@ -117,6 +117,7 @@ class ClsPipeline:
         self.rng = np.random.default_rng(seed)
         self._pack_buffers = [None, None]  # rotate to dodge page faults
         self._pack_i = 0
+        self._enc_buffers = [None, None]
         self.drop_last = train if drop_last is None else drop_last
 
     def __len__(self) -> int:
@@ -232,13 +233,13 @@ class ClsPipeline:
                 )
             self._pack_buffers[self._pack_i] = packed
             params = self._sample_view(hws)
-            if cfg.compact_transfer and not cfg.use_evrep:
-                enc, t_range = encode_events_u16(packed, counts)
-                dev_events = jnp.asarray(enc)
-                dev_t_range = jnp.asarray(t_range)
-            else:
-                dev_events = jnp.asarray(packed)
-                dev_t_range = jnp.zeros((len(counts), 2), jnp.float32)
+            dev_events, dev_t_range, self._enc_buffers[self._pack_i] = (
+                encode_for_transfer(
+                    packed, counts,
+                    cfg.compact_transfer and not cfg.use_evrep,
+                    out=self._enc_buffers[self._pack_i],
+                )
+            )
             evg = _device_preprocess(
                 dev_events,
                 jnp.asarray(counts),

@@ -30,17 +30,29 @@ T_SCALE = 65535.0
 
 
 def encode_events_u16(
-    packed: np.ndarray, counts: np.ndarray
+    packed: np.ndarray,
+    counts: np.ndarray,
+    out: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """(B, E, 4) f32 xytp + (B,) counts -> ((B, E, 4) uint16, (B, 2) f32 t-range)."""
+    """(B, E, 4) f32 xytp + (B,) counts -> ((B, E, 4) uint16, (B, 2) f32 t-range).
+
+    Out-of-range coordinates (negative or beyond the 4095-px fixed-point
+    range) encode to the sentinel 65535 so they decode to 4095.94 px — out of
+    frame for every supported sensor — preserving the rasterizers'
+    "out-of-range events are dropped" contract. Pass ``out`` to reuse a
+    buffer (page-fault avoidance on the host hot path).
+    """
     b, e, _ = packed.shape
-    out = np.empty((b, e, 4), np.uint16)
+    if out is None or out.shape != (b, e, 4) or out.dtype != np.uint16:
+        out = np.empty((b, e, 4), np.uint16)
     t_range = np.empty((b, 2), np.float32)
     for i in range(b):
         n = int(counts[i])
         ev = packed[i, :n]
-        out[i, :n, 0] = np.clip(ev[:, 0] * COORD_SCALE + 0.5, 0, 65535)
-        out[i, :n, 1] = np.clip(ev[:, 1] * COORD_SCALE + 0.5, 0, 65535)
+        xq = ev[:, 0] * COORD_SCALE + 0.5
+        yq = ev[:, 1] * COORD_SCALE + 0.5
+        out[i, :n, 0] = np.where((xq < 0) | (xq > 65534), 65535, xq)
+        out[i, :n, 1] = np.where((yq < 0) | (yq > 65534), 65535, yq)
         if n > 0:
             t0, t1 = float(ev[0, 2]), float(ev[n - 1, 2])
         else:
@@ -65,3 +77,20 @@ def decode_events_u16(encoded: jax.Array, t_range: jax.Array) -> jax.Array:
     t = t0 + enc[..., 2] / T_SCALE * (t1 - t0)
     p = enc[..., 3] - 1.0
     return jnp.stack([x, y, t, p], axis=-1)
+
+
+def encode_for_transfer(
+    packed: np.ndarray,
+    counts: np.ndarray,
+    enabled: bool,
+    out: np.ndarray | None = None,
+):
+    """Shared pipeline helper: returns (device_events, device_t_range, out).
+
+    ``out`` threads the reusable uint16 buffer back to the caller.
+    """
+    if enabled:
+        enc, t_range = encode_events_u16(packed, counts, out=out)
+        return jnp.asarray(enc), jnp.asarray(t_range), enc
+    zeros = jnp.zeros((len(counts), 2), jnp.float32)
+    return jnp.asarray(packed), zeros, out

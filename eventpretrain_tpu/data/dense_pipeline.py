@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from eventpretrain_tpu.data.event_transforms import (
     erase_and_add_events,
 )
-from eventpretrain_tpu.data.codec import encode_events_u16, decode_events_u16
+from eventpretrain_tpu.data.codec import encode_for_transfer, decode_events_u16
 from eventpretrain_tpu.native import pack_event_batch, augment_pack_event_batch
 from eventpretrain_tpu.ops.view_augment import (
     ViewParams,
@@ -104,6 +104,8 @@ class DensePipeline:
         self.batch_size = batch_size
         self.train = train
         self.rng = np.random.default_rng(seed)
+        self._enc_buffers = [None, None]
+        self._enc_i = 0
         self._pack_buffers = [None, None]  # rotate to dodge page faults
         self._pack_i = 0
 
@@ -154,13 +156,13 @@ class DensePipeline:
             valid_arr = (
                 jnp.asarray(np.stack(valids)) if valids else jnp.zeros(())
             )
-            if cfg.compact_transfer:
-                enc, t_range = encode_events_u16(packed, counts)
-                dev_events = jnp.asarray(enc)
-                dev_t_range = jnp.asarray(t_range)
-            else:
-                dev_events = jnp.asarray(packed)
-                dev_t_range = jnp.zeros((len(counts), 2), jnp.float32)
+            self._enc_i ^= 1
+            dev_events, dev_t_range, self._enc_buffers[self._enc_i] = (
+                encode_for_transfer(
+                    packed, counts, cfg.compact_transfer,
+                    out=self._enc_buffers[self._enc_i],
+                )
+            )
             yield _device_preprocess(
                 dev_events,
                 jnp.asarray(counts),

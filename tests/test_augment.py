@@ -206,3 +206,23 @@ class TestCodec:
                                  num_bins=5, height=h, width=w)
         # bilinear weights differ by <= 4*(num_bins-1)/65536 per event
         assert float(jnp.abs(a - b).max()) < 0.01
+
+    def test_encode_drops_out_of_range(self, rng):
+        from eventpretrain_tpu.data.codec import (
+            encode_events_u16, decode_events_u16,
+        )
+        from eventpretrain_tpu.ops.events import events_to_voxel_grid
+        import jax.numpy as jnp
+
+        ev = np.array([
+            [-3.0, 5.0, 0.0, 1],    # negative x -> dropped
+            [5.0, 5.0, 0.5, 1],
+            [9000.0, 5.0, 1.0, 0],  # beyond range -> dropped
+        ], np.float32)
+        enc, tr = encode_events_u16(ev[None], np.asarray([3], np.int32))
+        dec = decode_events_u16(jnp.asarray(enc), jnp.asarray(tr))[0]
+        grid = events_to_voxel_grid(dec, jnp.int32(3), num_bins=2,
+                                    height=16, width=16)
+        # only the valid event contributes; edge pixels untouched
+        assert float(jnp.abs(grid).sum()) == 1.0
+        assert float(jnp.abs(grid[:, 0]).sum()) == 0.0
