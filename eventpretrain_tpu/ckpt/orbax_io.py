@@ -39,7 +39,9 @@ def save_checkpoint(
         "opt_state": state.opt_state,
     }
     if state.queue is not None:
-        payload["queue"] = state.queue._asdict()
+        # queues are pytrees (QueueState, or a tuple of SampleQueueStates for
+        # ECDP); store leaves + let restore rebuild via the state template
+        payload["queue"] = jax.tree.leaves(state.queue)
     if state.ema_params is not None:
         payload["ema_params"] = state.ema_params
     with ocp.StandardCheckpointer() as ckptr:
@@ -72,7 +74,7 @@ def restore_checkpoint(
         "opt_state": state.opt_state,
     }
     if state.queue is not None:
-        template["queue"] = state.queue._asdict()
+        template["queue"] = jax.tree.leaves(state.queue)
     if state.ema_params is not None:
         template["ema_params"] = state.ema_params
     with ocp.StandardCheckpointer() as ckptr:
@@ -84,9 +86,8 @@ def restore_checkpoint(
         opt_state=restored["opt_state"],
     )
     if state.queue is not None:
-        from eventpretrain_tpu.objectives.contrastive import QueueState
-
-        updates["queue"] = QueueState(**restored["queue"])
+        treedef = jax.tree.structure(state.queue)
+        updates["queue"] = jax.tree.unflatten(treedef, restored["queue"])
     if state.ema_params is not None:
         updates["ema_params"] = restored["ema_params"]
     return state.replace(**updates)

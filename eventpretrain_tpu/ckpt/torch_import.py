@@ -77,13 +77,6 @@ def load_torch_state_dict(path: str, dialect: str = "auto") -> dict:
         k = re.sub(r"^backbone\.norm\.", "backbone.norm_layer.", k)
         renamed[k] = v
 
-    # MEM: replicate the shared relative-position-bias table into every block
-    shared = renamed.get("backbone.rel_pos_bias.relative_position_bias_table")
-    if shared is not None:
-        for i in range(12):
-            renamed[
-                f"backbone.vit_block.{i}.attn.relative_position_bias_table"
-            ] = shared
 
     return {
         k: np.asarray(v.detach().numpy() if hasattr(v, "detach") else v)
@@ -231,6 +224,18 @@ def import_torch_params(
                 _convert(state_dict[torch_key], leaf.shape, kind, torch_key),
                 dtype=leaf.dtype,
             )
+        # MEM: per-block relative-position tables initialize from the shared
+        # table for EVERY block depth (main_finetune_cls.py:358-361 hardcodes
+        # 12; deriving from the target tree covers any depth)
+        if torch_key.endswith("attn.relative_position_bias_table"):
+            shared_key = prefix + "rel_pos_bias.relative_position_bias_table"
+            if shared_key in state_dict:
+                used.add(shared_key)
+                return jnp.asarray(
+                    _convert(state_dict[shared_key], leaf.shape, kind,
+                             torch_key),
+                    dtype=leaf.dtype,
+                )
         missing.append(torch_key)
         return leaf
 

@@ -419,7 +419,9 @@ def main_ecdp(args):
             init_sample_queue(jax.random.key(1), 256, args.queue_length),
             init_sample_queue(jax.random.key(2), 256, args.queue_length),
         )
-    ema0 = jax.tree.map(lambda x: x, params["encoder"])
+    # materialize a real copy: the donated train step may not see the same
+    # buffer twice (params["encoder"] and ema_params)
+    ema0 = jax.tree.map(jnp.copy, params["encoder"])
     state = TrainState.create(
         apply_fn=model.apply, params=params,
         batch_stats=variables["batch_stats"], tx=tx, queue=queue,

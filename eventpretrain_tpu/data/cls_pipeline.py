@@ -190,7 +190,9 @@ class ClsPipeline:
         num_batches = len(self)
         for b in range(num_batches):
             idx = order[b * bs : (b + 1) * bs]
-            if len(idx) < bs:  # pad tail batch by wrapping (eval keeps labels)
+            num_valid = len(idx)
+            if len(idx) < bs:  # pad tail batch by wrapping; num_valid marks
+                # the real samples so eval weighting skips the pads
                 idx = np.concatenate([idx, order[: bs - len(idx)]])
             self._pack_i ^= 1
             if self._augmenting():
@@ -256,6 +258,7 @@ class ClsPipeline:
             yield {
                 "evg": evg,
                 "label": jnp.asarray(np.asarray(labels, np.int32)),
+                "num_valid": jnp.asarray(num_valid, jnp.int32),
             }
 
 

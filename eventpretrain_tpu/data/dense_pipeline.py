@@ -122,7 +122,8 @@ class DensePipeline:
         label_hw = cfg.label_size or (cfg.input_size, cfg.input_size)
         for b in range(len(self)):
             idx = order[b * bs : (b + 1) * bs]
-            if len(idx) < bs:
+            num_valid = len(idx)
+            if len(idx) < bs:  # pad by wrapping; num_valid marks real samples
                 idx = np.concatenate([idx, order[: bs - len(idx)]])
             streams, labels, valids = [], [], []
             for i in idx:
@@ -163,7 +164,7 @@ class DensePipeline:
                     out=self._enc_buffers[self._enc_i],
                 )
             )
-            yield _device_preprocess(
+            batch = _device_preprocess(
                 dev_events,
                 jnp.asarray(counts),
                 labels_arr,
@@ -178,6 +179,8 @@ class DensePipeline:
                 label_w=label_hw[1],
                 t_range=dev_t_range,
             )
+            batch["num_valid"] = jnp.asarray(num_valid, jnp.int32)
+            yield batch
 
 
 class DsecSource:

@@ -262,17 +262,23 @@ class EcdpPretrainPipeline:
         bs = self.batch_size
         for b in range(len(self)):
             idx = order[b * bs : (b + 1) * bs]
-            evgs, clips = [], []
+            # q and k each come from their OWN source.load so sources with
+            # stochastic windows give the two views independent event windows
+            # (reference pr_ef_imagenet_dataset.py:258-283 calls the loader
+            # once per view); clip_emb comes from the q load
+            evgs_qk, clips = ([], []), []
             for i in idx:
-                item = self.source.load(int(i))
-                evgs.append(np.asarray(item["evg"], np.float32))
-                clip = np.asarray(item["clip_emb"], np.float32)
-                clips.append(clip[0] if clip.ndim == 2 else clip)
-            evg = jnp.asarray(np.stack(evgs))
-            h, w = evg.shape[1], evg.shape[2]
+                for v in range(2):
+                    item = self.source.load(int(i))
+                    evgs_qk[v].append(np.asarray(item["evg"], np.float32))
+                    if v == 0:
+                        clip = np.asarray(item["clip_emb"], np.float32)
+                        clips.append(clip[0] if clip.ndim == 2 else clip)
             negate = cfg.num_bins in (5, 6)
             views = []
-            for _ in range(2):
+            for v in range(2):
+                evg = jnp.asarray(np.stack(evgs_qk[v]))
+                h, w = evg.shape[1], evg.shape[2]
                 params = (
                     sample_view_params(self.rng, len(idx), h, w,
                                        scale_min=cfg.crop_min)

@@ -19,15 +19,23 @@ import jax.numpy as jnp
 
 
 def topk_accuracy(
-    logits: jax.Array, labels: jax.Array, topk: tuple[int, ...] = (1, 5)
+    logits: jax.Array, labels: jax.Array, topk: tuple[int, ...] = (1, 5),
+    weights: jax.Array | None = None,
 ) -> dict[str, jax.Array]:
-    """Per-batch top-k accuracy in percent."""
+    """Per-batch top-k accuracy in percent; ``weights`` (B,) masks samples
+    (wrapped tail-batch pads carry weight 0)."""
     out = {}
     max_k = max(topk)
     _, pred = jax.lax.top_k(logits, max_k)  # (B, max_k)
     correct = pred == labels[:, None]
     for k in topk:
-        out[f"acc{k}"] = correct[:, :k].any(axis=1).mean() * 100.0
+        hit = correct[:, :k].any(axis=1).astype(jnp.float32)
+        if weights is None:
+            out[f"acc{k}"] = hit.mean() * 100.0
+        else:
+            out[f"acc{k}"] = (
+                (hit * weights).sum() / jnp.maximum(weights.sum(), 1.0) * 100.0
+            )
     return out
 
 
@@ -36,18 +44,25 @@ def confusion_matrix(
     target: jax.Array,
     num_classes: int,
     ignore_label: Optional[int] = None,
+    valid: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Confusion counts (num_classes, num_classes), rows=predict, cols=target.
 
     Matches semseg_metric.py:4-18: pixels where *predict* equals the ignore
     label are dropped, and the flat bin index is target + C * predict.
+    ``valid`` is an optional boolean mask broadcastable to ``predict``
+    (e.g. per-sample tail-pad mask) ANDed into the keep set.
     """
+    if valid is not None:
+        valid = jnp.broadcast_to(valid, predict.shape).reshape(-1)
     predict = predict.reshape(-1).astype(jnp.int32)
     target = target.reshape(-1).astype(jnp.int32)
     if ignore_label is not None:
         keep = predict != ignore_label
     else:
         keep = jnp.ones_like(predict, bool)
+    if valid is not None:
+        keep = keep & valid
     idx = jnp.where(keep, target + num_classes * predict, num_classes ** 2)
     counts = jnp.zeros((num_classes ** 2 + 1,), jnp.int32).at[idx].add(1)
     return counts[: num_classes ** 2].reshape(num_classes, num_classes)

@@ -216,6 +216,7 @@ class SparseSwin(nn.Module):
         self.patch_norm = nn.LayerNorm(
             epsilon=self.layer_norm_eps, dtype=self.dtype, name="patch_embed_norm"
         )
+        self.pos_drop = nn.Dropout(self.drop_rate)
         dpr = [float(r) for r in np.linspace(0, self.drop_path_rate,
                                              sum(self.depths))]
         blocks = []
@@ -280,8 +281,8 @@ class SparseSwin(nn.Module):
         x = self.proj(x)                                # (B, H/4, W/4, d0)
         x = x.reshape(x.shape[0], -1, x.shape[-1])
         x = self.patch_norm(x)
-        if self.drop_rate > 0 and not deterministic:
-            x = nn.Dropout(self.drop_rate)(x, deterministic)
+        if self.drop_rate > 0:
+            x = self.pos_drop(x, deterministic)
         return jnp.take(x, coords_flat, axis=1)
 
     def _run_stages(self, x, plans, deterministic):

@@ -85,6 +85,7 @@ class ViT(nn.Module):
         self.norm_layer = nn.LayerNorm(
             epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm_layer"
         )
+        self.pos_drop = nn.Dropout(self.drop_rate)
         # fixed (non-learned) sincos table, recomputed rather than stored
         # (reference vit.py:43-47 freezes it as a buffer)
         self.pos_embed = jnp.asarray(
@@ -95,8 +96,8 @@ class ViT(nn.Module):
         x = self.patch_embed(x)  # (B, h, w, D)
         x = x.reshape(x.shape[0], -1, x.shape[-1])  # (B, L, D)
         x = x + self.pos_embed.astype(x.dtype)
-        if self.drop_rate > 0 and not deterministic:
-            x = nn.Dropout(self.drop_rate)(x, deterministic)
+        if self.drop_rate > 0:
+            x = self.pos_drop(x, deterministic)
         return x
 
     def encode_masked(

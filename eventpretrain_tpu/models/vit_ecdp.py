@@ -65,6 +65,7 @@ class ViTECDP(nn.Module):
         self.norm_layer = nn.LayerNorm(
             epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm_layer"
         )
+        self.pos_drop = nn.Dropout(self.drop_rate)
         self.pos_embed = jnp.asarray(
             get_2d_sincos_pos_embed(self.embed_dim, self.grid_size)
         )[None]
@@ -73,8 +74,8 @@ class ViTECDP(nn.Module):
         x = self.patch_embed(x)
         x = x.reshape(x.shape[0], -1, x.shape[-1])
         x = x + self.pos_embed.astype(x.dtype)
-        if self.drop_rate > 0 and not deterministic:
-            x = nn.Dropout(self.drop_rate)(x, deterministic)
+        if self.drop_rate > 0:
+            x = self.pos_drop(x, deterministic)
         return x
 
     def _prepend_tokens(self, x):

@@ -31,10 +31,13 @@ def ema_update(params, ema_params, momentum):
     )
 
 
-def cosine_ema_momentum(base_m: float, epoch_frac: float, total_epochs: float):
-    """Cosine-increasing momentum (reference pr_ecdp_trainer.py:10-13)."""
+def cosine_ema_momentum(base_m: float, epoch_frac, total_epochs: float):
+    """Cosine-increasing momentum (reference pr_ecdp_trainer.py:10-13).
+
+    jnp-based so it works on traced epoch fractions inside jitted steps.
+    """
     return 1.0 - (1.0 - base_m) * (
-        math.cos(math.pi * epoch_frac / total_epochs) + 1.0
+        jnp.cos(jnp.pi * epoch_frac / total_epochs) + 1.0
     ) / 2.0
 
 

@@ -48,6 +48,10 @@ def evaluate(
 ) -> dict:
     logger = MetricLogger()
     for batch in logger.log_every(Prefetcher(pipeline), print_freq, header):
-        metrics = eval_step(state, batch)
-        logger.update(**{k: float(v) for k, v in metrics.items()})
+        metrics = {k: float(v) for k, v in eval_step(state, batch).items()}
+        # steps report '_n' = true (unpadded) sample count so wrapped
+        # tail-batch pads don't skew the global averages
+        n = int(metrics.pop("_n", 1)) or 1
+        for k, v in metrics.items():
+            logger.meters[k].update(v, n=n)
     return logger.global_averages()

@@ -242,7 +242,8 @@ def make_cls_train_step(hub, *, smoothing: float = 0.0,
 
 def make_cls_eval_step(hub, preprocess_fn: Callable | None = None) -> Callable:
     """Validation step (reference ft_val, ft_cls_trainer.py:111-192)."""
-    from eventpretrain_tpu.objectives.cls import cls_loss
+    import optax
+
     from eventpretrain_tpu.eval.metrics import topk_accuracy
 
     @jax.jit
@@ -253,13 +254,27 @@ def make_cls_eval_step(hub, preprocess_fn: Callable | None = None) -> Callable:
         _, logits, _ = state.apply_fn(
             {"params": state.params}, evg, train=False
         )
-        loss = cls_loss(logits, batch["label"])
+        # weight out wrapped tail-batch pads (the reference never pads — its
+        # loader just emits a short last batch; static shapes force padding
+        # here, so eval metrics weight by the true sample count instead)
+        if "num_valid" in batch:
+            w = (jnp.arange(logits.shape[0]) < batch["num_valid"]).astype(
+                jnp.float32
+            )
+        else:
+            w = jnp.ones((logits.shape[0],), jnp.float32)
+        n = w.sum()
+        per_sample = optax.softmax_cross_entropy_with_integer_labels(
+            logits.astype(jnp.float32), batch["label"]
+        )
         metrics = {
-            "loss": loss,
+            "loss": (per_sample * w).sum() / jnp.maximum(n, 1.0),
             **topk_accuracy(
                 logits, batch["label"],
                 topk=(1,) if logits.shape[-1] < 5 else (1, 5),
+                weights=w,
             ),
+            "_n": n,
         }
         return metrics
 
@@ -409,7 +424,13 @@ def make_semseg_eval_step(hub, *, num_classes: int, ignore_label=None,
         label = batch["label"]
         decode = resize(decode, label.shape[1:3], sample_mode)
         pred = jnp.argmax(decode, axis=-1)
-        return confusion_matrix(pred, label, num_classes, ignore_label)
+        svalid = None
+        if "num_valid" in batch:
+            svalid = (
+                jnp.arange(pred.shape[0]) < batch["num_valid"]
+            )[:, None, None]
+        return confusion_matrix(pred, label, num_classes, ignore_label,
+                                valid=svalid)
 
     return step
 
@@ -455,11 +476,14 @@ def make_flow_train_step(
     return step
 
 
-def make_flow_eval_step(hub, *, sample_mode: str = "bilinear") -> Callable:
+def make_flow_eval_step(hub, *, sample_mode: str = "bilinear",
+                        sparse_mask: bool = True) -> Callable:
     """Per-batch (sum_epe, sum_outlier_flags, count) over the sparse mask
     (reference ft_flow_trainer.py:163-271 + flow_metric.py): valid pixels
-    require gt validity AND per-pixel event presence (||voxel_org|| > 0)."""
-    from eventpretrain_tpu.ops.reshape import resize_flow
+    require gt validity AND per-pixel event presence (||voxel|| > 0 per
+    pixel, derived from the network input and nearest-resized to the label
+    resolution; pass an explicit batch['event_mask'] to override)."""
+    from eventpretrain_tpu.ops.reshape import resize, resize_flow
 
     @jax.jit
     def step(state: TrainState, batch):
@@ -474,6 +498,16 @@ def make_flow_eval_step(hub, *, sample_mode: str = "bilinear") -> Callable:
         valid = (batch["valid"] >= 0.5)
         if "event_mask" in batch:
             valid = valid & (batch["event_mask"] > 0)
+        elif sparse_mask:
+            presence = (
+                jnp.linalg.norm(batch["evg"], axis=-1) > 0
+            ).astype(jnp.float32)[..., None]
+            presence = resize(presence, target.shape[1:3], "nearest")[..., 0]
+            valid = valid & (presence > 0)
+        if "num_valid" in batch:
+            valid = valid & (
+                jnp.arange(valid.shape[0]) < batch["num_valid"]
+            )[:, None, None]
         w = valid.astype(jnp.float32)
         epe = jnp.sqrt(((decode - target) ** 2).sum(-1))
         mag = jnp.sqrt((target ** 2).sum(-1))
@@ -579,9 +613,9 @@ def make_ecdp_step(
         from eventpretrain_tpu.objectives.ecdp import cosine_ema_momentum
 
         epoch_frac = state.step.astype(jnp.float32) / steps_per_epoch
-        momentum = 1.0 - (1.0 - base_ema_momentum) * (
-            jnp.cos(jnp.pi * epoch_frac / total_epochs) + 1.0
-        ) / 2.0
+        momentum = cosine_ema_momentum(
+            base_ema_momentum, epoch_frac, total_epochs
+        )
         new_ema = ema_update(
             state.params["encoder"], state.ema_params, momentum
         )
