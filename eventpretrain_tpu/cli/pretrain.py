@@ -22,6 +22,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from eventpretrain_tpu.data.pretrain_pipeline import (
+    ClipEncodingPipeline,
+    NImageNetPairedSource,
+    RawPretrainDataConfig,
+    RawPretrainPipeline,
+    SyntheticRawPretrainSource,
     PretrainDataConfig,
     PretrainPipeline,
     EFImageNetSource,
@@ -61,8 +66,18 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["rec", "rec-n", "adj", "_adj", "adj-n", "con",
                             "con-n", "rec+con", "ecdp", "ecdp-ef"])
     p.add_argument("--dataset", default="synthetic",
-                   choices=["synthetic", "ef_imagenet"])
+                   choices=["synthetic", "ef_imagenet", "n_imagenet"])
     p.add_argument("--data_root", default=None)
+    p.add_argument("--n_imagenet_root", default=None,
+                   help="raw N-ImageNet event .npz tree (adj-n/con-n)")
+    p.add_argument("--imagenet_root", default=None,
+                   help="paired ImageNet JPEG tree (adj-n/con-n)")
+    p.add_argument("--clip_weights", default=None,
+                   help="OpenAI CLIP ViT-B/16 checkpoint for in-loop "
+                        "encoding; random init with a warning if omitted")
+    p.add_argument("--fix_events_num", type=int, default=30000)
+    p.add_argument("--pretrain_num_classes", type=int, default=None,
+                   help="limit N-ImageNet classes (reference num_classes)")
     p.add_argument("--backbone", default="vit", choices=["vit", "convvit", "swin"])
     p.add_argument("--model_size", default="small", choices=["small", "base"])
     p.add_argument("--num_bins", type=int, default=5)
@@ -105,28 +120,51 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 PHASE_ALIASES = {
-    # reference main_pretrain.py:36 phase matrix; the -n variants run CLIP
-    # in-loop on raw images — unavailable here (no CLIP weights), so they
-    # alias to the precomputed-embedding paths with a notice.
+    # reference main_pretrain.py:185-215 phase matrix. adj-n/con-n run the
+    # raw N-ImageNet pipeline with in-loop CLIP encoding (see below);
+    # rec-n aliases to rec (the reference pairs rec-n with a dataset that
+    # yields no sub-frame targets — pr_trainer.py:20-36 would not unpack it;
+    # the precomputed rec path is the working equivalent).
     "rec-n": "rec", "_adj": "adj", "adj-n": "adj", "con-n": "con",
     "ecdp-ef": "ecdp",
 }
+
+CLIP_IN_LOOP_PHASES = ("adj-n", "con-n")
 
 
 def main(args=None):
     args = build_parser().parse_args(args)
     np.random.seed(args.seed)
+    clip_in_loop = args.pr_phase in CLIP_IN_LOOP_PHASES
     if args.pr_phase in PHASE_ALIASES:
-        canonical = PHASE_ALIASES[args.pr_phase]
-        if args.pr_phase.endswith("-n"):
-            print(f"[note] {args.pr_phase}: on-the-fly CLIP encoding is "
-                  f"unavailable in this environment; running the {canonical} "
-                  "path over precomputed clip embeddings")
-        args.pr_phase = canonical
+        args.pr_phase = PHASE_ALIASES[args.pr_phase]
     if args.pr_phase == "ecdp":
         return main_ecdp(args)
 
-    if args.dataset == "synthetic":
+    raw_cfg = None
+    if clip_in_loop:
+        # raw events + paired images; CLIP runs in-loop on device
+        # (reference pr_trainer.py:158-224 pr_con_n_one_epoch)
+        if args.dataset == "synthetic":
+            source = SyntheticRawPretrainSource(
+                n=max(args.batch_size * 4, 32), seed=args.seed,
+            )
+            canvas = source.hw
+        else:
+            assert args.n_imagenet_root and args.imagenet_root, (
+                "adj-n/con-n need --n_imagenet_root and --imagenet_root"
+            )
+            source = NImageNetPairedSource(
+                args.n_imagenet_root, args.imagenet_root,
+                num_classes=args.pretrain_num_classes,
+            )
+            canvas = source.SENSOR_HW
+        raw_cfg = RawPretrainDataConfig(
+            num_bins=args.num_bins, input_size=args.input_size,
+            crop_min=args.crop_min, fix_events_num=args.fix_events_num,
+            canvas_height=canvas[0], canvas_width=canvas[1],
+        )
+    elif args.dataset == "synthetic":
         source = SyntheticPretrainSource(
             n=max(args.batch_size * 4, 32), size=args.input_size,
             num_bins=args.num_bins, seed=args.seed,
@@ -140,6 +178,26 @@ def main(args=None):
         input_size=args.input_size, crop_min=args.crop_min,
         frame_chans=args.frame_chans,
     )
+
+    clip_model = clip_params = None
+    if clip_in_loop:
+        from eventpretrain_tpu.models.clip import (
+            clip_vit_b16, load_clip_visual_weights,
+        )
+
+        clip_model = clip_vit_b16(
+            dtype=jnp.bfloat16 if args.bf16 else jnp.float32
+        )
+        clip_params = jax.jit(clip_model.init)(
+            jax.random.key(0), jnp.zeros((1, 224, 224, 3))
+        )["params"]
+        if args.clip_weights:
+            clip_params = load_clip_visual_weights(
+                args.clip_weights, clip_params
+            )
+        else:
+            print("[warn] --clip_weights not given: in-loop CLIP encoder is "
+                  "randomly initialized (smoke-run mode)")
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     factory = {
@@ -299,9 +357,19 @@ def main(args=None):
     start_epoch = int(state.step) // steps_per_epoch
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
-        pipe = PretrainPipeline(
-            source, cfg, args.batch_size, train=True, seed=args.seed + epoch
-        )
+        if clip_in_loop:
+            pipe = ClipEncodingPipeline(
+                RawPretrainPipeline(
+                    source, raw_cfg, args.batch_size, train=True,
+                    seed=args.seed + epoch,
+                ),
+                clip_model, clip_params,
+            )
+        else:
+            pipe = PretrainPipeline(
+                source, cfg, args.batch_size, train=True,
+                seed=args.seed + epoch,
+            )
         state, metrics = train_one_epoch(
             step=step, state=state, pipeline=pipe,
             rng_key=jax.random.fold_in(key, epoch), epoch=epoch,

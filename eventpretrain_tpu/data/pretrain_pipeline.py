@@ -299,3 +299,250 @@ class EcdpPretrainPipeline:
                 "img_k": norm(views[1]),
                 "clip_emb": jnp.asarray(np.stack(clips)),
             }
+
+
+# ---------------------------------------------------------------------------
+# Raw N-ImageNet path (adj-n / con-n): raw event streams + paired RGB images,
+# CLIP embeddings computed in-loop on device.
+# ---------------------------------------------------------------------------
+
+
+class NImageNetPairedSource:
+    """Raw N-ImageNet ``.npz`` event streams + paired ImageNet JPEGs.
+
+    Mirrors reference dataset/pretrain/pr_n_imagenet_dataset.py:18-75
+    (NImageNetDataset.load_events: structured ``event_data`` arrays with
+    x/y/t/p fields, timestamps scaled to seconds) and
+    PretrainNImageNetDataset.load_image (:69-74): the image with the same
+    name under ``imagenet_root/<class>/<name>.JPEG`` run through the CLIP
+    preprocess (bicubic resize of the short side to 224 + center crop; the
+    normalize step runs on device in models/clip.py preprocess_images).
+    """
+
+    SENSOR_HW = (480, 640)
+
+    def __init__(self, n_imagenet_root: str, imagenet_root: str,
+                 num_classes: Optional[int] = None):
+        self.n_imagenet_root = n_imagenet_root
+        self.imagenet_root = imagenet_root
+        classes = sorted(os.listdir(n_imagenet_root))
+        if num_classes is not None:
+            classes = classes[:num_classes]
+        self.files = []
+        for cls in classes:
+            for f in sorted(os.listdir(os.path.join(n_imagenet_root, cls))):
+                if f.endswith(".npz"):
+                    self.files.append((cls, f[:-4]))
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def load(self, index: int) -> dict:
+        cls, name = self.files[index]
+        raw = np.load(os.path.join(self.n_imagenet_root, cls, name + ".npz"))
+        ev = raw["event_data"]
+        events = np.stack(
+            [ev["x"], ev["y"], ev["t"].astype(np.float64) / 1e6, ev["p"]],
+            axis=1,
+        ).astype(np.float64)
+        return {"events": events, "image": self._load_image(cls, name),
+                "hw": self.SENSOR_HW}
+
+    def _load_image(self, cls: str, name: str) -> np.ndarray:
+        from PIL import Image
+
+        path = os.path.join(self.imagenet_root, cls, name + ".JPEG")
+        img = Image.open(path).convert("RGB")
+        w, h = img.size
+        scale = 224 / min(w, h)
+        img = img.resize((round(w * scale), round(h * scale)),
+                         Image.Resampling.BICUBIC)
+        w, h = img.size
+        left, top = (w - 224) // 2, (h - 224) // 2
+        return np.asarray(img.crop((left, top, left + 224, top + 224)),
+                          np.uint8)
+
+
+class SyntheticRawPretrainSource:
+    """Synthetic raw event streams + paired images for smoke runs."""
+
+    def __init__(self, n: int = 64, hw: tuple = (128, 128),
+                 num_events: int = 8192, seed: int = 0):
+        self.n = n
+        self.hw = hw
+        self.num_events = num_events
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.n
+
+    def load(self, index: int) -> dict:
+        rng = np.random.default_rng(self.seed + index)
+        h, w = self.hw
+        n = self.num_events
+        events = np.stack([
+            rng.uniform(0, w - 1, n),
+            rng.uniform(0, h - 1, n),
+            np.sort(rng.uniform(0, 0.05, n)),
+            rng.choice([-1.0, 1.0], n),
+        ], axis=1)
+        image = rng.integers(0, 256, (224, 224, 3), dtype=np.uint8)
+        return {"events": events, "image": image, "hw": self.hw}
+
+
+class RawPretrainPipeline:
+    """Raw-event pretrain batches {'evg', 'image'} for the -n phases.
+
+    Host: random fixed-count window (reference events_augment.py:5-20),
+    erase/add stream augmentation, fixed-capacity packing + uint16 codec.
+    Device: voxelize at sensor canvas + fused crop/resize/flip view augment
+    (one jitted program, shared with the cls pipeline). The paired image
+    rides along for in-loop CLIP encoding (ClipEncodingPipeline).
+    """
+
+    def __init__(self, source, cfg: "RawPretrainDataConfig",
+                 batch_size: int, train: bool = True, seed: int = 0):
+        self.source = source
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.train = train
+        self.rng = np.random.default_rng(seed)
+        self._pack_buffers = [None, None]
+        self._pack_i = 0
+        self._enc_buffers = [None, None]
+
+    def __len__(self) -> int:
+        return max(len(self.source) // self.batch_size, 1)
+
+    def __iter__(self) -> Iterator[dict]:
+        from eventpretrain_tpu.data.cls_pipeline import _device_preprocess
+        from eventpretrain_tpu.data.codec import encode_for_transfer
+        from eventpretrain_tpu.data.event_transforms import (
+            erase_and_add_events,
+        )
+        from eventpretrain_tpu.native import (
+            augment_pack_event_batch, pack_event_batch,
+        )
+
+        cfg = self.cfg
+        order = np.arange(len(self.source))
+        if self.train:
+            self.rng.shuffle(order)
+        bs = self.batch_size
+        cap = cfg.fix_events_num
+        for b in range(len(self)):
+            idx = order[b * bs : (b + 1) * bs]
+            streams, windows, hws, images = [], [], [], []
+            for i in idx:
+                item = self.source.load(int(i))
+                ev = np.asarray(item["events"])
+                n = ev.shape[0]
+                if self.train and n > cap:
+                    start = int(self.rng.integers(0, n - cap))
+                else:
+                    start = 0
+                windows.append((start, min(start + cap, n)))
+                streams.append(ev.astype(np.float32))
+                hws.append(tuple(item["hw"]))
+                images.append(np.asarray(item["image"], np.uint8))
+            self._pack_i ^= 1
+            if self.train and cfg.stream_augment:
+                seeds = self.rng.integers(0, 2 ** 63, len(idx))
+                native_out = augment_pack_event_batch(
+                    streams, windows, hws, cap, seeds,
+                    out=self._pack_buffers[self._pack_i],
+                )
+                if native_out is not None:
+                    packed, counts = native_out
+                else:
+                    py = [
+                        erase_and_add_events(
+                            self.rng, s[w[0]:w[1]].astype(np.float64), hw
+                        ).astype(np.float32)
+                        for s, w, hw in zip(streams, windows, hws)
+                    ]
+                    packed, counts = pack_event_batch(
+                        py, cap, out=self._pack_buffers[self._pack_i]
+                    )
+            else:
+                packed, counts = pack_event_batch(
+                    [s[w[0]:w[1]] for s, w in zip(streams, windows)], cap,
+                    out=self._pack_buffers[self._pack_i],
+                )
+            self._pack_buffers[self._pack_i] = packed
+            if self.train:
+                params = sample_view_params(
+                    self.rng, len(idx), hws[0][0], hws[0][1],
+                    scale_min=cfg.crop_min,
+                )
+            else:
+                params = identity_view_params(len(idx), hws[0][0], hws[0][1])
+            dev_events, dev_t_range, self._enc_buffers[self._pack_i] = (
+                encode_for_transfer(
+                    packed, counts, cfg.compact_transfer,
+                    out=self._enc_buffers[self._pack_i],
+                )
+            )
+            evg = _device_preprocess(
+                dev_events,
+                jnp.asarray(counts),
+                jnp.asarray(np.asarray(hws, np.int32)),
+                params,
+                num_bins=cfg.num_bins,
+                height=cfg.canvas_height,
+                width=cfg.canvas_width,
+                out_size=cfg.input_size,
+                mode="nearest",
+                use_evrep=False,
+                t_range=dev_t_range,
+            )
+            yield {"evg": evg, "image": jnp.asarray(np.stack(images))}
+
+
+@dataclasses.dataclass(frozen=True)
+class RawPretrainDataConfig:
+    num_bins: int = 5
+    input_size: int = 224
+    crop_min: float = 0.8
+    fix_events_num: int = 30000
+    canvas_height: int = 480
+    canvas_width: int = 640
+    stream_augment: bool = True
+    compact_transfer: bool = True
+
+
+class ClipEncodingPipeline:
+    """Wraps a {'evg', 'image'} pipeline; emits {'evg', 'clip_emb'}.
+
+    The TPU-native form of the reference's in-loop CLIP encoding
+    (pr_trainer.py:176-179: ``clip_model.encode_image(image_preprocess)``
+    inside the epoch loop): the frozen CLIP visual tower runs as its own
+    jitted program per batch, producing the (B, 197, 512) projected token
+    sequence the adj/con objectives consume.
+    """
+
+    def __init__(self, inner, clip_model, clip_params, dtype=jnp.float32):
+        self.inner = inner
+        self.clip_model = clip_model
+        self.clip_params = clip_params
+
+        @jax.jit
+        def encode(params, images):
+            from eventpretrain_tpu.models.clip import preprocess_images
+
+            x = images.astype(jnp.float32)
+            if images.dtype == jnp.uint8:
+                x = x / 255.0
+            return clip_model.apply({"params": params},
+                                    preprocess_images(x))
+
+        self._encode = encode
+
+    def __len__(self) -> int:
+        return len(self.inner)
+
+    def __iter__(self) -> Iterator[dict]:
+        for batch in self.inner:
+            out = {k: v for k, v in batch.items() if k != "image"}
+            out["clip_emb"] = self._encode(self.clip_params, batch["image"])
+            yield out
