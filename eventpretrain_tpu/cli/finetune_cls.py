@@ -320,7 +320,7 @@ def main(args=None):
         if args.visualize:
             import numpy as _np
 
-            from eventpretrain_tpu.viz import save_cls_panel
+            from eventpretrain_tpu.viz import save_cls_panel, save_feature_panel
 
             vb = next(iter(ClsPipeline(val_src, cfg, args.batch_size,
                                        train=False, seed=args.seed)))
@@ -333,6 +333,30 @@ def main(args=None):
                 _np.asarray(vb["evg"][0], _np.float32),
                 int(vb["label"][0]), int(logits[0].argmax()),
             )
+            # per-backbone feature/attention panel (reference vis_ft_cls /
+            # _ecdp / _mem / _swin, ft_cls_visualize.py:14-262): vit-family
+            # backbones expose the l1/l2/h taps; ECDP/MEM give attention only
+            try:
+                variables = {"params": state.params["backbone"]}
+                out = hub.backbone.apply(
+                    variables, evg, deterministic=True, return_attn=True,
+                    method=hub.backbone.encode_dense,
+                )
+                if len(out) == 5:
+                    taps = {"emb_l1": out[0][0], "emb_l2": out[1][0],
+                            "emb_h": out[2][0]}
+                    attn = out[4]
+                else:
+                    taps, attn = {}, out[2]
+                save_feature_panel(
+                    f"{args.output_dir}/vis_val",
+                    f"epoch_{epoch:03d}_features.png",
+                    _np.asarray(vb["evg"][0], _np.float32), taps=taps,
+                    attn=None if attn is None else _np.asarray(
+                        attn[0], _np.float32),
+                )
+            except Exception as e:  # swin needs plans; skip quietly
+                print(f"[viz] feature panel skipped: {e}")
         print(f"epoch {epoch}: val acc1 {val_metrics.get('acc1', 0):.2f}")
         save_checkpoint(args.output_dir, state)
         if val_metrics.get("acc1", 0) > best_acc:

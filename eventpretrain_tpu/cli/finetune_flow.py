@@ -75,6 +75,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
     p.add_argument("--print_freq", type=int, default=20)
     p.add_argument("--tensorboard", action="store_true")
+    p.add_argument("--visualize", action="store_true",
+                   help="save events/mask/gt/pred/aux flow panels per epoch "
+                        "(reference ft_flow_visualize.py)")
     return p
 
 
@@ -191,6 +194,34 @@ def main(args=None):
             if aee < best_aee[split]:
                 best_aee[split] = aee
                 save_checkpoint(args.output_dir, state, name=f"best_{split}")
+        if args.visualize:
+            import numpy as _np
+
+            from eventpretrain_tpu.ops.reshape import resize, resize_flow
+            from eventpretrain_tpu.viz import save_flow_panel
+
+            src0 = next(iter(val_srcs.values()))
+            vb = next(iter(DensePipeline(src0, cfg, args.batch_size,
+                                         train=False, seed=args.seed)))
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            _, _, decode, aux = state.apply_fn(variables, vb["evg"],
+                                               train=False)
+            hw = vb["flow"].shape[1:3]
+            pred = resize_flow(decode, hw, "bilinear")
+            presence = (jnp.linalg.norm(vb["evg"], axis=-1) > 0
+                        ).astype(jnp.float32)[..., None]
+            mask = resize(presence, hw, "nearest")[..., 0]
+            mask = mask * (vb["valid"] >= 0.5)
+            save_flow_panel(
+                f"{args.output_dir}/vis_val", f"epoch_{epoch:03d}.png",
+                _np.asarray(vb["evg"][0], _np.float32),
+                _np.asarray(vb["flow"][0]), _np.asarray(pred[0]),
+                sparse_mask=_np.asarray(mask[0]),
+                aux_pred=(_np.asarray(resize_flow(aux, hw, "bilinear")[0])
+                          if aux is not None else None),
+            )
         record["epoch_time_s"] = round(time.time() - t0, 2)
         append_log_line(args.output_dir, record)
         writer.write({k: v for k, v in record.items() if k != "epoch"}, epoch)

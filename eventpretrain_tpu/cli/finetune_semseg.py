@@ -93,6 +93,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
     p.add_argument("--print_freq", type=int, default=20)
     p.add_argument("--tensorboard", action="store_true")
+    p.add_argument("--visualize", action="store_true",
+                   help="save events/label/pred/aux panels per epoch "
+                        "(reference ft_semseg_visualize.py)")
     return p
 
 
@@ -204,6 +207,29 @@ def main(args=None):
         miou = float(miou_from_confusion(conf))
         macc = float(macc_from_confusion(conf))
         print(f"epoch {epoch}: mIoU {miou:.2f} mAcc {macc:.2f}")
+        if args.visualize:
+            import numpy as _np
+
+            from eventpretrain_tpu.ops.reshape import resize
+            from eventpretrain_tpu.viz import save_semseg_panel
+
+            vb = next(iter(DensePipeline(val_src, cfg, args.batch_size,
+                                         train=False, seed=args.seed)))
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            _, _, decode, aux = state.apply_fn(variables, vb["evg"],
+                                               train=False)
+            label_hw = vb["label"].shape[1:3]
+            pred = jnp.argmax(resize(decode, label_hw, "bilinear"), -1)
+            aux_p = (jnp.argmax(resize(aux, label_hw, "bilinear"), -1)
+                     if aux is not None else None)
+            save_semseg_panel(
+                f"{args.output_dir}/vis_val", f"epoch_{epoch:03d}.png",
+                _np.asarray(vb["evg"][0], _np.float32),
+                _np.asarray(vb["label"][0]), _np.asarray(pred[0]),
+                aux_pred=None if aux_p is None else _np.asarray(aux_p[0]),
+            )
         writer.write({**train_metrics, "miou": miou, "macc": macc}, epoch)
         append_log_line(args.output_dir, {
             "epoch": epoch, "miou": miou, "macc": macc,

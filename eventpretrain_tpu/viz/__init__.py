@@ -10,4 +10,7 @@ from eventpretrain_tpu.viz.panels import (
     save_cls_panel,
     save_semseg_panel,
     save_flow_panel,
+    save_feature_panel,
+    save_con_panel,
+    save_ecdp_panel,
 )

@@ -1,5 +1,7 @@
 """Visualization tests (previews, color wheel, panels)."""
 
+import os
+
 import numpy as np
 
 from eventpretrain_tpu.viz import (
@@ -67,3 +69,45 @@ def test_panels_save(tmp_path, rng):
 
     for p in (p1, p2, p3, p4):
         assert os.path.exists(p) and os.path.getsize(p) > 0
+
+
+def test_feature_panel(tmp_path):
+    from eventpretrain_tpu.viz import save_feature_panel
+
+    evg = np.random.default_rng(0).normal(size=(32, 32, 5)).astype(np.float32)
+    taps = {"emb_l1": np.ones((16, 8), np.float32),
+            "emb_h": np.ones((4, 4, 8), np.float32)}
+    attn = np.random.default_rng(1).random((3, 16, 16)).astype(np.float32)
+    path = save_feature_panel(str(tmp_path), "f.png", evg, taps=taps,
+                              attn=attn, title="t")
+    assert os.path.exists(path)
+    # attention-only variant (ECDP/MEM)
+    path = save_feature_panel(str(tmp_path), "f2.png", evg, taps={},
+                              attn=attn)
+    assert os.path.exists(path)
+
+
+def test_con_and_ecdp_panels(tmp_path):
+    from eventpretrain_tpu.viz import save_con_panel, save_ecdp_panel
+
+    evg = np.zeros((32, 32, 5), np.float32)
+    e = np.ones((16, 8), np.float32)
+    assert os.path.exists(save_con_panel(str(tmp_path), "c.png", evg,
+                                         e, e, e, e))
+    img = np.zeros((32, 32, 2), np.float32)
+    assert os.path.exists(save_ecdp_panel(str(tmp_path), "e.png", img, img))
+
+
+def test_extended_task_panels(tmp_path):
+    from eventpretrain_tpu.viz import save_flow_panel, save_semseg_panel
+
+    evg = np.zeros((32, 32, 5), np.float32)
+    flow = np.ones((32, 32, 2), np.float32)
+    assert os.path.exists(save_flow_panel(
+        str(tmp_path), "fl.png", evg, flow, flow,
+        sparse_mask=np.ones((32, 32), np.float32), aux_pred=flow,
+    ))
+    lab = np.zeros((32, 32), np.int32)
+    assert os.path.exists(save_semseg_panel(
+        str(tmp_path), "ss.png", evg, lab, lab, aux_pred=lab,
+    ))
