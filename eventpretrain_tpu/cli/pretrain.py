@@ -408,6 +408,39 @@ def main(args=None):
                 _np.asarray(vb["frame"][0], _np.float32),
                 _np.asarray(pred_frame[0], _np.float32),
             )
+        elif args.visualize and args.pr_phase in ("adj", "con"):
+            # contrastive panel (reference vis_pr_con, pr_visualize.py:320)
+            import numpy as _np
+
+            from eventpretrain_tpu.viz import save_con_panel
+
+            if clip_in_loop:
+                vpipe = ClipEncodingPipeline(
+                    RawPretrainPipeline(source, raw_cfg, args.batch_size,
+                                        train=False, seed=args.seed),
+                    clip_model, clip_params,
+                )
+            else:
+                vpipe = PretrainPipeline(source, cfg, args.batch_size,
+                                         train=False, seed=args.seed)
+            vb = next(iter(vpipe))
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            q, k, emb_h_org, clip_emb_org, attn = hub.apply(
+                variables, vb["evg"], vb["clip_emb"],
+                method=hub.forward_con,
+            )
+            save_con_panel(
+                f"{args.output_dir}/vis_train", f"epoch_{epoch:03d}.png",
+                _np.asarray(vb["evg"][0], _np.float32),
+                _np.asarray(emb_h_org[0], _np.float32),
+                _np.asarray(q[0], _np.float32),
+                _np.asarray(clip_emb_org[0], _np.float32),
+                _np.asarray(k[0], _np.float32),
+                attn=None if attn is None else _np.asarray(
+                    attn[0], _np.float32),
+            )
         if (epoch + 1) % args.save_model_freq == 0 or epoch + 1 == args.epochs:
             path = save_checkpoint(args.output_dir, state)
             print(f"saved {path}")
@@ -527,6 +560,19 @@ def main_ecdp(args):
             **{f"train_{k}": v for k, v in metrics.items()},
             "epoch_time_s": round(time.time() - t0, 2),
         })
+        if args.visualize:
+            # q/k view pair (reference vis_pr_ecdp, pr_visualize.py:604)
+            import numpy as _np
+
+            from eventpretrain_tpu.viz import save_ecdp_panel
+
+            vb = next(iter(EcdpPretrainPipeline(
+                source, cfg, args.batch_size, train=False, seed=args.seed)))
+            save_ecdp_panel(
+                f"{args.output_dir}/vis_train", f"epoch_{epoch:03d}.png",
+                _np.asarray(vb["img_q"][0], _np.float32),
+                _np.asarray(vb["img_k"][0], _np.float32),
+            )
         if (epoch + 1) % args.save_model_freq == 0 or epoch + 1 == args.epochs:
             print(f"saved {save_checkpoint(args.output_dir, state)}")
     return state
