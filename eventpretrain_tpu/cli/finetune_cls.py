@@ -114,6 +114,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write scalars to <output_dir>/tb")
     p.add_argument("--visualize", action="store_true",
                    help="save diagnostic panels to <output_dir>/vis_val")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard batches over all local devices "
+                        "(Mesh(('data',)); replaces the reference's DDP, "
+                        "main_finetune_cls_ddp.py:187-196)")
     return p
 
 
@@ -232,6 +236,9 @@ def main(args=None):
         jnp.zeros((1, args.input_size, args.input_size, in_chans)),
     )
     params = variables["params"]
+    from eventpretrain_tpu.utils.logging import count_params
+
+    print(f"model params: {count_params(params):.2f}M")
     if args.finetune:
         params = init_backbone_from(args.finetune, params)
 
@@ -279,6 +286,17 @@ def main(args=None):
     )
     eval_step = make_cls_eval_step(hub, preprocess_fn=preprocess_fn)
 
+    mesh = None
+    if args.data_parallel:
+        from eventpretrain_tpu.parallel import make_mesh, replicate
+
+        mesh = make_mesh()
+        ndev = mesh.shape["data"]
+        assert args.batch_size % ndev == 0, (
+            f"--batch_size must divide the {ndev}-device mesh")
+        state = replicate(mesh, state)
+        print(f"data-parallel over {ndev} devices")
+
     writer = ScalarWriter(
         f"{args.output_dir}/tb" if args.tensorboard else None
     )
@@ -291,6 +309,10 @@ def main(args=None):
             train_src, cfg, args.batch_size, train=True,
             seed=args.seed + epoch,
         )
+        if mesh is not None:
+            from eventpretrain_tpu.parallel import ShardedPipeline
+
+            pipe = ShardedPipeline(pipe, mesh)
         state, train_metrics = train_one_epoch(
             step=train_step, state=state, pipeline=pipe,
             rng_key=jax.random.fold_in(key, epoch), epoch=epoch,
@@ -299,6 +321,10 @@ def main(args=None):
         val_pipe = ClsPipeline(
             val_src, cfg, args.batch_size, train=False, seed=args.seed
         )
+        if mesh is not None:
+            from eventpretrain_tpu.parallel import ShardedPipeline
+
+            val_pipe = ShardedPipeline(val_pipe, mesh)
         val_metrics = evaluate(eval_step, state, val_pipe)
         for name, src in extra_vals.items():
             vm = evaluate(

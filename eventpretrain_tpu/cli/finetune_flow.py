@@ -124,6 +124,9 @@ def main(args=None):
         jnp.zeros((1, args.input_size, args.input_size, args.num_bins)),
     )
     params = variables["params"]
+    from eventpretrain_tpu.utils.logging import count_params
+
+    print(f"model params: {count_params(params):.2f}M")
     if args.finetune:
         params = init_backbone_from(args.finetune, params)
 

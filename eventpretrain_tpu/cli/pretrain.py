@@ -114,6 +114,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
     p.add_argument("--print_freq", type=int, default=20)
     p.add_argument("--tensorboard", action="store_true")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard batches over all local devices "
+                        "(Mesh(('data',)); replaces the reference's DDP, "
+                        "main_pretrain.py:215-243)")
     p.add_argument("--visualize", action="store_true",
                    help="save reconstruction panels (rec phases)")
     return p
@@ -279,6 +283,10 @@ def main(args=None):
                     merged += 1
             print(f"init_from {args.init_from}: merged {merged} top-level trees")
 
+    from eventpretrain_tpu.utils.logging import count_params
+
+    print(f"model params: {count_params(params):.2f}M")
+
     steps_per_epoch = max(len(source) // args.batch_size, 1)
     eff_batch = args.batch_size * args.accum_iter
     lr = args.blr * eff_batch / 256
@@ -350,6 +358,15 @@ def main(args=None):
                 **common,
             )
 
+    mesh = None
+    if args.data_parallel:
+        from eventpretrain_tpu.parallel import make_mesh, replicate
+
+        mesh = make_mesh()
+        assert args.batch_size % mesh.shape["data"] == 0
+        state = replicate(mesh, state)
+        print(f"data-parallel over {mesh.shape['data']} devices")
+
     writer = ScalarWriter(
         f"{args.output_dir}/tb" if args.tensorboard else None
     )
@@ -370,6 +387,10 @@ def main(args=None):
                 source, cfg, args.batch_size, train=True,
                 seed=args.seed + epoch,
             )
+        if mesh is not None:
+            from eventpretrain_tpu.parallel import ShardedPipeline
+
+            pipe = ShardedPipeline(pipe, mesh)
         state, metrics = train_one_epoch(
             step=step, state=state, pipeline=pipe,
             rng_key=jax.random.fold_in(key, epoch), epoch=epoch,
@@ -505,6 +526,9 @@ def main_ecdp(args):
         functools.partial(model.init, method=model.forward_query)
     )(jax.random.key(args.seed), img0, ids0, clip0)
     params = variables["params"]
+    from eventpretrain_tpu.utils.logging import count_params
+
+    print(f"model params: {count_params(params):.2f}M")
 
     steps_per_epoch = max(len(source) // args.batch_size, 1)
     lr = args.blr * args.batch_size / 256

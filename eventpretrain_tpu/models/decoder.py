@@ -82,22 +82,22 @@ class RecDecoder(nn.Module):
 def rec_decoder_small_patch16(frame_chans: int = 1, **kwargs) -> RecDecoder:
     """Reference pr_rec_decoder.py:73-79."""
     return RecDecoder(
-        patch_size=16, num_patches=196, embed_dim=256, depth=8, num_heads=8,
-        frame_chans=frame_chans, **kwargs,
+        patch_size=16, embed_dim=256, depth=8, num_heads=8,
+        frame_chans=frame_chans, **{"num_patches": 196, **kwargs},
     )
 
 
 def rec_decoder_swin_tiny_patch32(frame_chans: int = 1, **kwargs) -> RecDecoder:
     """Reference pr_rec_decoder.py:81-87."""
     return RecDecoder(
-        patch_size=32, num_patches=49, embed_dim=256, depth=8, num_heads=8,
-        frame_chans=frame_chans, **kwargs,
+        patch_size=32, embed_dim=256, depth=8, num_heads=8,
+        frame_chans=frame_chans, **{"num_patches": 49, **kwargs},
     )
 
 
 def rec_decoder_base_patch16(frame_chans: int = 1, **kwargs) -> RecDecoder:
     """Reference pr_rec_decoder.py:89-95."""
     return RecDecoder(
-        patch_size=16, num_patches=196, embed_dim=512, depth=8, num_heads=16,
-        frame_chans=frame_chans, **kwargs,
+        patch_size=16, embed_dim=512, depth=8, num_heads=16,
+        frame_chans=frame_chans, **{"num_patches": 196, **kwargs},
     )

@@ -149,13 +149,15 @@ def pretrain_hub_small(num_bins: int = 5, mask_ratio: float = 0.75,
                        dtype: Any = jnp.float32, **bk) -> PrHub:
     """Reference pretrain_hub_model_small_patch16 (pr_hub_model.py:262-267)."""
     backbone = vit_small_patch16(num_bins=num_bins, dtype=dtype, name="backbone", **bk)
+    num_patches = (bk.get("input_size", 224) // 16) ** 2
     decoder = (
         rec_decoder_small_patch16(frame_chans=frame_chans, dtype=dtype,
+                                  num_patches=num_patches,
                                   name="pretrain_rec_decoder")
         if with_decoder else None
     )
     return PrHub(backbone=backbone, decoder=decoder, embed_dim=384,
-                 num_patches=196, dtype=dtype)
+                 num_patches=num_patches, dtype=dtype)
 
 
 def pretrain_hub_base(num_bins: int = 5, mask_ratio: float = 0.75,
@@ -163,13 +165,15 @@ def pretrain_hub_base(num_bins: int = 5, mask_ratio: float = 0.75,
                       dtype: Any = jnp.float32, **bk) -> PrHub:
     """Reference pretrain_hub_model_base_patch16 (pr_hub_model.py:276-281)."""
     backbone = vit_base_patch16(num_bins=num_bins, dtype=dtype, name="backbone", **bk)
+    num_patches = (bk.get("input_size", 224) // 16) ** 2
     decoder = (
         rec_decoder_base_patch16(frame_chans=frame_chans, dtype=dtype,
+                                 num_patches=num_patches,
                                  name="pretrain_rec_decoder")
         if with_decoder else None
     )
     return PrHub(backbone=backbone, decoder=decoder, embed_dim=768,
-                 num_patches=196, dtype=dtype)
+                 num_patches=num_patches, dtype=dtype)
 
 
 def pretrain_hub_convvit_small(num_bins: int = 5, mask_ratio: float = 0.75,
@@ -182,13 +186,15 @@ def pretrain_hub_convvit_small(num_bins: int = 5, mask_ratio: float = 0.75,
         num_bins=num_bins, with_rec_decoders=with_decoder, dtype=dtype,
         name="backbone", **bk,
     )
+    num_patches = (bk.get("input_size", 224) // 16) ** 2
     decoder = (
         rec_decoder_small_patch16(frame_chans=frame_chans, dtype=dtype,
+                                  num_patches=num_patches,
                                   name="pretrain_rec_decoder")
         if with_decoder else None
     )
     return PrHub(backbone=backbone, decoder=decoder, embed_dim=384,
-                 num_patches=196, dtype=dtype)
+                 num_patches=num_patches, dtype=dtype)
 
 
 def pretrain_hub_convvit_base(num_bins: int = 5, mask_ratio: float = 0.75,
@@ -200,13 +206,15 @@ def pretrain_hub_convvit_base(num_bins: int = 5, mask_ratio: float = 0.75,
         num_bins=num_bins, with_rec_decoders=with_decoder, dtype=dtype,
         name="backbone", **bk,
     )
+    num_patches = (bk.get("input_size", 224) // 16) ** 2
     decoder = (
         rec_decoder_base_patch16(frame_chans=frame_chans, dtype=dtype,
+                                 num_patches=num_patches,
                                  name="pretrain_rec_decoder")
         if with_decoder else None
     )
     return PrHub(backbone=backbone, decoder=decoder, embed_dim=768,
-                 num_patches=196, dtype=dtype)
+                 num_patches=num_patches, dtype=dtype)
 
 
 def pretrain_hub_swin(num_bins: int = 5, mask_ratio: float = 0.5,
@@ -220,10 +228,12 @@ def pretrain_hub_swin(num_bins: int = 5, mask_ratio: float = 0.5,
         num_bins=num_bins, with_rec_decoders=with_decoder, dtype=dtype,
         name="backbone", **bk,
     )
+    num_patches = (bk.get("input_size", 224) // 32) ** 2
     decoder = (
         rec_decoder_swin_tiny_patch32(frame_chans=frame_chans, dtype=dtype,
+                                      num_patches=num_patches,
                                       name="pretrain_rec_decoder")
         if with_decoder else None
     )
     return PrHub(backbone=backbone, decoder=decoder, embed_dim=768,
-                 num_patches=49, clip_proj_conv=True, dtype=dtype)
+                 num_patches=num_patches, clip_proj_conv=True, dtype=dtype)

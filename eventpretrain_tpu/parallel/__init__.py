@@ -4,4 +4,5 @@ from eventpretrain_tpu.parallel.mesh import (
     replicate,
     data_sharding,
     HostShardedSource,
+    ShardedPipeline,
 )

@@ -39,9 +39,42 @@ def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any, axis: str = "data") -> Any:
-    """Place a host batch pytree with the leading dim sharded over the mesh."""
-    sharding = NamedSharding(mesh, P(axis))
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    """Place a host batch pytree with the leading dim sharded over the mesh.
+
+    Scalars and leaves whose leading dim does not divide the mesh (e.g.
+    per-batch ``num_valid`` counters) are replicated instead.
+    """
+    n = mesh.shape[axis]
+    data = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    def put(x):
+        shardable = getattr(x, "ndim", 0) >= 1 and x.shape[0] % n == 0
+        return jax.device_put(x, data if shardable else repl)
+
+    return jax.tree.map(put, batch)
+
+
+class ShardedPipeline:
+    """Wrap a host pipeline so every batch lands sharded over the mesh.
+
+    The CLI-facing form of the reference's DDP data path
+    (main_finetune_cls_ddp.py:187-196 + DistributedSampler): one process
+    drives the whole mesh; jitting the unchanged global-view step over the
+    sharded batch makes XLA insert the gradient psums over ICI.
+    """
+
+    def __init__(self, inner, mesh: Mesh, axis: str = "data"):
+        self.inner = inner
+        self.mesh = mesh
+        self.axis = axis
+
+    def __len__(self) -> int:
+        return len(self.inner)
+
+    def __iter__(self):
+        for batch in self.inner:
+            yield shard_batch(self.mesh, batch, self.axis)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:

@@ -17,6 +17,7 @@ import time
 from typing import Any, Iterable, Iterator
 
 import numpy as np
+import jax
 
 
 class SmoothedValue:
@@ -59,6 +60,16 @@ class SmoothedValue:
             median=self.median, avg=self.avg, global_avg=self.global_avg,
             max=self.max, value=self.value,
         )
+
+
+def _peak_device_mb():
+    """Peak device-memory use in MB, or None where the backend lacks stats
+    (CPU, and the axon relay does not forward memory_stats)."""
+    try:
+        stats = jax.devices()[0].memory_stats()
+        return stats["peak_bytes_in_use"] / 2 ** 20
+    except Exception:
+        return None
 
 
 class MetricLogger:
@@ -108,13 +119,14 @@ class MetricLogger:
                     prog = f"[{i:{space}d}/{total}] eta: {eta_str}"
                 else:
                     prog = f"[{i}]"
-                print(
-                    self.delimiter.join(
-                        [header, prog, str(self),
+                parts = [header, prog, str(self),
                          f"time: {iter_time}", f"data: {data_time}"]
-                    ),
-                    flush=True,
-                )
+                mem = _peak_device_mb()
+                if mem is not None:
+                    # reference log lines carry max CUDA memory
+                    # (utils/misc.py:140-179); this is the HBM equivalent
+                    parts.append(f"mem: {mem:.0f}MB")
+                print(self.delimiter.join(parts), flush=True)
             i += 1
             end = time.time()
         elapsed = time.time() - start
@@ -168,3 +180,11 @@ class ScalarWriter:
     def close(self):
         if self._writer is not None:
             self._writer.close()
+
+
+def count_params(tree) -> float:
+    """Trainable parameter count in millions
+    (reference main_finetune_cls.py:394-398 prints the same)."""
+    import jax
+
+    return sum(x.size for x in jax.tree.leaves(tree)) / 1e6
