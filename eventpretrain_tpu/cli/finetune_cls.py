@@ -45,10 +45,12 @@ from eventpretrain_tpu.train import (
     TrainState,
 )
 from eventpretrain_tpu.train.steps import (
+    forward_only,
     make_cls_train_step,
     make_cls_eval_step,
 )
 from eventpretrain_tpu.train.loop import train_one_epoch, evaluate
+from eventpretrain_tpu.utils import profiling
 from eventpretrain_tpu.ckpt import save_checkpoint, restore_checkpoint
 from eventpretrain_tpu.ckpt.torch_import import init_backbone_from
 from eventpretrain_tpu.utils.logging import append_log_line, ScalarWriter
@@ -114,6 +116,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write scalars to <output_dir>/tb")
     p.add_argument("--visualize", action="store_true",
                    help="save diagnostic panels to <output_dir>/vis_val")
+    p.add_argument("--forward_only", action="store_true",
+                   help="dry run: compute losses without optimizer updates "
+                        "(reference --backward=False, pr_trainer.py:51)")
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler trace of the first epoch "
+                        "into this directory")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard batches over all local devices "
                         "(Mesh(('data',)); replaces the reference's DDP, "
@@ -313,11 +321,16 @@ def main(args=None):
             from eventpretrain_tpu.parallel import ShardedPipeline
 
             pipe = ShardedPipeline(pipe, mesh)
-        state, train_metrics = train_one_epoch(
-            step=train_step, state=state, pipeline=pipe,
-            rng_key=jax.random.fold_in(key, epoch), epoch=epoch,
-            print_freq=args.print_freq,
-        )
+        run_step = (forward_only(train_step) if args.forward_only
+                    else train_step)
+        with profiling.trace(args.profile_dir,
+                             enabled=bool(args.profile_dir)
+                             and epoch == start_epoch):
+            state, train_metrics = train_one_epoch(
+                step=run_step, state=state, pipeline=pipe,
+                rng_key=jax.random.fold_in(key, epoch), epoch=epoch,
+                print_freq=args.print_freq,
+            )
         val_pipe = ClsPipeline(
             val_src, cfg, args.batch_size, train=False, seed=args.seed
         )

@@ -55,6 +55,8 @@ from eventpretrain_tpu.train.steps import (
     make_swin_rec_and_con_step,
 )
 from eventpretrain_tpu.train.loop import train_one_epoch
+from eventpretrain_tpu.train.steps import forward_only
+from eventpretrain_tpu.utils import profiling
 from eventpretrain_tpu.ckpt import save_checkpoint, restore_checkpoint
 from eventpretrain_tpu.ckpt.torch_import import load_torch_backbone_if_needed
 from eventpretrain_tpu.utils.logging import append_log_line, ScalarWriter
@@ -114,6 +116,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
     p.add_argument("--print_freq", type=int, default=20)
     p.add_argument("--tensorboard", action="store_true")
+    p.add_argument("--forward_only", action="store_true",
+                   help="dry run: compute losses without optimizer updates "
+                        "(reference --backward=False, pr_trainer.py:51)")
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler trace of the first epoch "
+                        "into this directory")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard batches over all local devices "
                         "(Mesh(('data',)); replaces the reference's DDP, "
@@ -391,11 +399,15 @@ def main(args=None):
             from eventpretrain_tpu.parallel import ShardedPipeline
 
             pipe = ShardedPipeline(pipe, mesh)
-        state, metrics = train_one_epoch(
-            step=step, state=state, pipeline=pipe,
-            rng_key=jax.random.fold_in(key, epoch), epoch=epoch,
-            print_freq=args.print_freq,
-        )
+        run_step = forward_only(step) if args.forward_only else step
+        with profiling.trace(args.profile_dir,
+                             enabled=bool(args.profile_dir)
+                             and epoch == start_epoch):
+            state, metrics = train_one_epoch(
+                step=run_step, state=state, pipeline=pipe,
+                rng_key=jax.random.fold_in(key, epoch), epoch=epoch,
+                print_freq=args.print_freq,
+            )
         record = {
             "epoch": epoch,
             **{f"train_{k}": v for k, v in metrics.items()},

@@ -725,3 +725,19 @@ def make_swin_rec_and_con_step(
         )
 
     return step
+
+
+def forward_only(step: Callable) -> Callable:
+    """Wrap a train step so it computes metrics but never updates state.
+
+    Equivalent of the reference's ``--backward`` flag set false
+    (main_pretrain.py:110-111, pr_trainer.py:51-56): forward-only dry runs
+    for smoke-testing a config. Gradients still trace (the step is reused
+    unchanged); only the returned state is the input state.
+    """
+
+    def wrapped(state: TrainState, batch, rng):
+        _, metrics = step(state, batch, rng)
+        return state, metrics
+
+    return wrapped

@@ -183,8 +183,7 @@ class ScalarWriter:
 
 
 def count_params(tree) -> float:
-    """Trainable parameter count in millions
-    (reference main_finetune_cls.py:394-398 prints the same)."""
-    import jax
+    """Re-export of utils.profiling.count_params for CLI convenience."""
+    from eventpretrain_tpu.utils.profiling import count_params as _cp
 
-    return sum(x.size for x in jax.tree.leaves(tree)) / 1e6
+    return _cp(tree)
