@@ -61,7 +61,8 @@ class ClsDataConfig:
     event_noise: bool = False       # robustness eval (--val_event_noise)
     stream_augment: bool = True     # erase_and_add in training
     use_evrep: bool = False         # EvRepSL 3-channel representation
-    compact_transfer: bool = True   # uint16 event codec (see data/codec.py)
+    compact_transfer: bool = True   # compact event codec (see data/codec.py)
+    transfer_codec: str = "u32"     # "u32" (4 B/event) | "u16" (8 B/event)
 
 
 @functools.partial(
@@ -85,6 +86,10 @@ def _device_preprocess(
 ):
     if events.dtype == jnp.uint16:
         events = decode_events_u16(events, t_range)
+    elif events.dtype == jnp.uint32:
+        from eventpretrain_tpu.data.codec import decode_events_u32
+
+        events = decode_events_u32(events, t_range)
     evg = build_representation(
         events, counts, num_bins=num_bins, height=height, width=width,
         sensor_hw=sensor_hw, use_evrep=use_evrep,
@@ -240,6 +245,7 @@ class ClsPipeline:
                     packed, counts,
                     cfg.compact_transfer and not cfg.use_evrep,
                     out=self._enc_buffers[self._pack_i],
+                    codec=cfg.transfer_codec,
                 )
             )
             evg = _device_preprocess(

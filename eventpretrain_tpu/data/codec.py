@@ -15,6 +15,13 @@ batch-64). Events tolerate aggressive quantization for rasterization:
 
 NOT used for EvRep (its temporal channel needs absolute-time deltas) — the
 pipelines fall back to f32 transfer there.
+
+The u32 codec below halves the bytes again (4 B/event) by exploiting that
+every device rasterizer floors x/y to integer pixels (ops/events.py) and
+only uses t through the window-normalized bin position: x 11 bits
+(sentinel 2047 = out of frame), y 10 bits (sentinel 1023), t 10 bits over
+the window (bilinear bin-weight error <= (num_bins-1)/1024 of a bin), sign
+of p 1 bit. Valid for every supported sensor (max 1280x800 < sentinels).
 """
 
 from __future__ import annotations
@@ -84,13 +91,71 @@ def encode_for_transfer(
     counts: np.ndarray,
     enabled: bool,
     out: np.ndarray | None = None,
+    codec: str = "u16",
 ):
     """Shared pipeline helper: returns (device_events, device_t_range, out).
 
-    ``out`` threads the reusable uint16 buffer back to the caller.
+    ``out`` threads the reusable encode buffer back to the caller.
+    ``codec``: "u16" (8 B/event, 1/16-px coords) or "u32" (4 B/event,
+    integer-pixel coords — exact for every device rasterizer, which floors).
     """
     if enabled:
-        enc, t_range = encode_events_u16(packed, counts, out=out)
+        enc_fn = encode_events_u32 if codec == "u32" else encode_events_u16
+        enc, t_range = enc_fn(packed, counts, out=out)
         return jnp.asarray(enc), jnp.asarray(t_range), enc
     zeros = jnp.zeros((len(counts), 2), jnp.float32)
     return jnp.asarray(packed), zeros, out
+
+
+X_SENTINEL = 0x7FF
+Y_SENTINEL = 0x3FF
+T32_SCALE = 1023.0
+
+
+def encode_events_u32(
+    packed: np.ndarray,
+    counts: np.ndarray,
+    out: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(B, E, 4) f32 xytp + (B,) counts -> ((B, E) uint32, (B, 2) f32 t-range).
+
+    Layout per word: x[0:11] | y[11:21] | t[21:31] | sign(p)[31].
+    """
+    b, e, _ = packed.shape
+    if out is None or out.shape != (b, e) or out.dtype != np.uint32:
+        out = np.empty((b, e), np.uint32)
+    t_range = np.empty((b, 2), np.float32)
+    for i in range(b):
+        n = int(counts[i])
+        ev = packed[i, :n]
+        x = ev[:, 0].astype(np.int64)
+        y = ev[:, 1].astype(np.int64)
+        x = np.where((x < 0) | (x >= X_SENTINEL), X_SENTINEL, x)
+        y = np.where((y < 0) | (y >= Y_SENTINEL), Y_SENTINEL, y)
+        if n > 0:
+            t0, t1 = float(ev[0, 2]), float(ev[n - 1, 2])
+        else:
+            t0 = t1 = 0.0
+        dt = (t1 - t0) or 1.0
+        t = np.clip((ev[:, 2] - t0) / dt * T32_SCALE + 0.5, 0,
+                    T32_SCALE).astype(np.int64)
+        pos = (ev[:, 3] > 0).astype(np.int64)
+        out[i, :n] = (x | (y << 11) | (t << 21) | (pos << 31)).astype(
+            np.uint32
+        )
+        out[i, n:] = 0
+        t_range[i] = (t0, t1)
+    return out, t_range
+
+
+def decode_events_u32(encoded: jax.Array, t_range: jax.Array) -> jax.Array:
+    """Device-side inverse -> (B, E, 4) f32 xytp (p in {-1, +1})."""
+    w = encoded.astype(jnp.uint32)
+    x = (w & X_SENTINEL).astype(jnp.float32)
+    y = ((w >> 11) & Y_SENTINEL).astype(jnp.float32)
+    tq = ((w >> 21) & 0x3FF).astype(jnp.float32)
+    t0 = t_range[:, 0:1]
+    t1 = t_range[:, 1:2]
+    t = t0 + tq / T32_SCALE * (t1 - t0)
+    p = (w >> 31).astype(jnp.float32) * 2.0 - 1.0
+    return jnp.stack([x, y, t, p], axis=-1)

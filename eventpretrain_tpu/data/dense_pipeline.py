@@ -58,6 +58,7 @@ class DenseDataConfig:
     stream_augment: bool = True
     label_size: Optional[tuple[int, int]] = None  # None = input_size
     compact_transfer: bool = True   # uint16 event codec (data/codec.py)
+    transfer_codec: str = "u32"     # "u32" | "u16" (data/codec.py)
 
 
 @functools.partial(
@@ -74,6 +75,10 @@ def _device_preprocess(
 
     if events.dtype == jnp.uint16:
         events = decode_events_u16(events, t_range)
+    elif events.dtype == jnp.uint32:
+        from eventpretrain_tpu.data.codec import decode_events_u32
+
+        events = decode_events_u32(events, t_range)
     evg = build_representation(
         events, counts, num_bins=num_bins, height=height, width=width
     )
@@ -162,6 +167,7 @@ class DensePipeline:
                 encode_for_transfer(
                     packed, counts, cfg.compact_transfer,
                     out=self._enc_buffers[self._enc_i],
+                    codec=cfg.transfer_codec,
                 )
             )
             batch = _device_preprocess(

@@ -481,6 +481,7 @@ class RawPretrainPipeline:
                 encode_for_transfer(
                     packed, counts, cfg.compact_transfer,
                     out=self._enc_buffers[self._pack_i],
+                    codec=cfg.transfer_codec,
                 )
             )
             evg = _device_preprocess(
@@ -509,6 +510,7 @@ class RawPretrainDataConfig:
     canvas_width: int = 640
     stream_augment: bool = True
     compact_transfer: bool = True
+    transfer_codec: str = "u32"
 
 
 class ClipEncodingPipeline:

@@ -29,12 +29,32 @@ def train_one_epoch(
     print_freq: int = 20,
     header: Optional[str] = None,
 ) -> tuple[TrainState, dict]:
+    """Metric fetches are deferred to the print boundary: a per-step
+    ``float()`` forces a device round trip (expensive through the axon
+    relay), so steps dispatch asynchronously and metrics flush in bulk
+    every ``print_freq`` batches (the step chain on ``state`` still forces
+    every step to execute)."""
     logger = MetricLogger()
     header = header or f"Epoch: [{epoch}]"
-    for batch in logger.log_every(Prefetcher(pipeline), print_freq, header):
+    pending: list[dict] = []
+
+    def flush():
+        for m in pending:
+            logger.update(**{k: float(v) for k, v in m.items()})
+        pending.clear()
+
+    i = 0
+    for batch in logger.log_every(
+        Prefetcher(pipeline), print_freq, header, on_print=flush
+    ):
         rng_key, sub = jax.random.split(rng_key)
         state, metrics = step(state, batch, sub)
-        logger.update(**{k: float(v) for k, v in metrics.items()})
+        pending.append(metrics)
+        # keep a bounded dispatch queue (donated buffers + relay memory)
+        if len(pending) >= print_freq:
+            flush()
+        i += 1
+    flush()
     return state, logger.global_averages()
 
 
@@ -47,11 +67,23 @@ def evaluate(
     header: str = "Val:",
 ) -> dict:
     logger = MetricLogger()
-    for batch in logger.log_every(Prefetcher(pipeline), print_freq, header):
-        metrics = {k: float(v) for k, v in eval_step(state, batch).items()}
-        # steps report '_n' = true (unpadded) sample count so wrapped
-        # tail-batch pads don't skew the global averages
-        n = int(metrics.pop("_n", 1)) or 1
-        for k, v in metrics.items():
-            logger.meters[k].update(v, n=n)
+    pending: list[dict] = []
+
+    def flush():
+        for m in pending:
+            vals = {k: float(v) for k, v in m.items()}
+            # steps report '_n' = true (unpadded) sample count so wrapped
+            # tail-batch pads don't skew the global averages
+            n = int(vals.pop("_n", 1)) or 1
+            for k, v in vals.items():
+                logger.meters[k].update(v, n=n)
+        pending.clear()
+
+    for batch in logger.log_every(
+        Prefetcher(pipeline), print_freq, header, on_print=flush
+    ):
+        pending.append(eval_step(state, batch))
+        if len(pending) >= print_freq:
+            flush()
+    flush()
     return logger.global_averages()

@@ -96,7 +96,8 @@ class MetricLogger:
         )
 
     def log_every(
-        self, iterable: Iterable, print_freq: int, header: str = ""
+        self, iterable: Iterable, print_freq: int, header: str = "",
+        on_print=None,
     ) -> Iterator:
         i = 0
         start = time.time()
@@ -113,6 +114,8 @@ class MetricLogger:
             yield obj
             iter_time.update(time.time() - end)
             if i % print_freq == 0 or (total and i == total - 1):
+                if on_print is not None:
+                    on_print()
                 if total:
                     eta = iter_time.global_avg * (total - i)
                     eta_str = str(datetime.timedelta(seconds=int(eta)))

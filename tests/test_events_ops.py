@@ -191,3 +191,65 @@ class TestEvRep:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestU32Codec:
+    def test_roundtrip_matches_rasterizer(self):
+        """u32-decoded events voxelize identically to f32 events (integer
+        pixels + <=1/1023-window t quantization, which the golden grids
+        absorb at 1e-2)."""
+        import jax.numpy as jnp
+
+        from eventpretrain_tpu.data.codec import (
+            decode_events_u32, encode_events_u32,
+        )
+        from eventpretrain_tpu.ops.events import events_to_voxel_grid
+
+        rng = np.random.default_rng(0)
+        n, cap = 500, 512
+        ev = np.zeros((1, cap, 4), np.float32)
+        ev[0, :n, 0] = rng.uniform(0, 63, n)
+        ev[0, :n, 1] = rng.uniform(0, 47, n)
+        ev[0, :n, 2] = np.sort(rng.uniform(10.0, 10.5, n))
+        ev[0, :n, 3] = rng.choice([-1.0, 1.0], n)
+        counts = np.asarray([n], np.int32)
+        enc, t_range = encode_events_u32(ev, counts)
+        assert enc.dtype == np.uint32 and enc.shape == (1, cap)
+        dec = decode_events_u32(jnp.asarray(enc), jnp.asarray(t_range))
+        ref = events_to_voxel_grid(
+            jnp.asarray(np.floor(ev[0]) * [1, 1, 0, 1]
+                        + ev[0] * [0, 0, 1, 0]),
+            jnp.asarray(n), num_bins=5, height=48, width=64,
+        )
+        got = events_to_voxel_grid(
+            dec[0], jnp.asarray(n), num_bins=5, height=48, width=64,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-2)
+        # hard equality on the count image (t-free)
+        from eventpretrain_tpu.ops.events import events_to_image_ecdp
+
+        ref_img = events_to_image_ecdp(
+            jnp.asarray(ev[0]), jnp.asarray(n), height=48, width=64)
+        got_img = events_to_image_ecdp(
+            dec[0], jnp.asarray(n), height=48, width=64)
+        np.testing.assert_array_equal(np.asarray(got_img),
+                                      np.asarray(ref_img))
+
+    def test_out_of_range_sentinel(self):
+        import jax.numpy as jnp
+
+        from eventpretrain_tpu.data.codec import (
+            decode_events_u32, encode_events_u32,
+        )
+
+        ev = np.zeros((1, 4, 4), np.float32)
+        ev[0, 0] = (-3.0, 5.0, 0.0, 1.0)     # negative x
+        ev[0, 1] = (5000.0, 5.0, 0.5, 1.0)   # huge x
+        ev[0, 2] = (5.0, -1.0, 0.8, -1.0)    # negative y
+        ev[0, 3] = (5.0, 2000.0, 1.0, -1.0)  # huge y
+        enc, t_range = encode_events_u32(ev, np.asarray([4], np.int32))
+        dec = np.asarray(decode_events_u32(jnp.asarray(enc),
+                                           jnp.asarray(t_range)))
+        assert dec[0, 0, 0] == 2047 and dec[0, 1, 0] == 2047
+        assert dec[0, 2, 1] == 1023 and dec[0, 3, 1] == 1023
