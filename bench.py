@@ -24,7 +24,10 @@ def main():
     from eventpretrain_tpu.train import build_optimizer, TrainState
     from eventpretrain_tpu.train.steps import make_rec_step
 
-    batch = 128
+    # bs sweep with the fused attention-layer kernel (which removed the
+    # (B, H, L, L) HBM intermediates): 128 -> 1282, 192 -> 1353, 256 -> 1348
+    # samples/s on v5e; the old bs128-beats-bs256 memory pressure is gone
+    batch = 192
     hub = pretrain_hub_base(dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     evg = jnp.asarray(rng.normal(size=(batch, 224, 224, 5)), jnp.float32)
