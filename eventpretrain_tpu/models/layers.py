@@ -21,6 +21,7 @@ from eventpretrain_tpu.ops.fused_attn_layer import (
     fused_attn_layer,
     supports_fused_attn_layer,
 )
+from eventpretrain_tpu.ops.fused_mlp import fused_mlp, supports_fused_mlp
 
 Dtype = Any
 
@@ -74,16 +75,42 @@ class DropPath(nn.Module):
 
 
 class Mlp(nn.Module):
-    """MLP with GELU (reference vit_block.py:215-231)."""
+    """MLP with GELU (reference vit_block.py:215-231).
+
+    ``use_fused=True`` opts into the fused fc1+GELU+fc2 Pallas kernel
+    (ops/fused_mlp.py; same param tree, the (B, L, 4C) hidden never leaves
+    VMEM). Measured at decoder shapes (B=192 L=196 C=512, v5e): forward
+    wins 10.8 vs 14.5 ms per 8-layer stack, but fwd+bwd is a wash (32.7 vs
+    31.3) — the backward's dW accumulators push VMEM to ~15 MB and stall
+    the pipeline — so training paths default to the XLA composition and
+    the kernel is worth enabling for inference-only use.
+    """
 
     hidden_dim: int
     out_dim: Optional[int] = None
     dropout: float = 0.0
+    use_fused: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         out_dim = self.out_dim or x.shape[-1]
+        if (
+            self.use_fused
+            and x.ndim == 3
+            and out_dim == x.shape[-1]
+            and (self.dropout == 0.0 or deterministic)
+            and supports_fused_mlp(x.shape[1], x.shape[-1], self.hidden_dim)
+        ):
+            w1, b1 = DenseParams(self.hidden_dim, name="fc1")(x.shape[-1])
+            w2, b2 = DenseParams(out_dim, name="fc2")(self.hidden_dim)
+            return fused_mlp(
+                x.astype(self.dtype),
+                w1.astype(self.dtype),
+                b1.astype(self.dtype),
+                w2.astype(self.dtype),
+                b2.astype(self.dtype),
+            )
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.dropout)(x, deterministic)

@@ -1,0 +1,212 @@
+"""Fused transformer-MLP Pallas kernel (fc1 + GELU + fc2).
+
+Companion to ops/fused_attn_layer.py, same architecture: a 1-D grid over
+batch, one (L, C) token block per step, both weight matrices VMEM-resident
+(constant block index), the (L, 4C) hidden activation never leaving VMEM.
+XLA runs this MLP as two large flattened matmuls at ~100 TFLOP/s fwd+bwd
+but round-trips the hidden layer (B*L*4C, ~100 MB at decoder shapes)
+through HBM between fc1/GELU/fc2 and again in the backward; fusing removes
+that traffic and the kernel-launch/fusion seams.
+
+The backward recomputes the hidden pre-activation in VMEM and accumulates
+dW1/dW2/db1/db2 in f32 across the grid (zeroed at step 0). VMEM footprint
+is weights (bf16) + dW accumulators (f32) + activation scratch, about
+15 MB at C=512 (MAE decoder) — inside the ~16 MB/core budget; the
+``supports_fused_mlp`` gate excludes widths whose accumulators would not
+fit (e.g. C=768 encoder MLPs need ~28 MB and stay on XLA).
+
+GELU parity: models/layers.py::Mlp uses exact (erf-based) GELU, reference
+vit_block.py:215-231 / torch nn.GELU; the kernel matches, incl. the exact
+d/dx gelu(x) = Phi(x) + x phi(x).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+MAX_FUSED_SEQ_LEN = 1024
+# bf16 weights (2*4*C^2*2B) + f32 dW accumulators (2*4*C^2*4B) must leave
+# room for activations in ~16MB VMEM: C=512 -> 12MB + scratch. C=768 -> 28MB.
+MAX_FUSED_WIDTH = 512
+
+
+def supports_fused_mlp(seq_len: int, dim: int, hidden_dim: int) -> bool:
+    return (
+        seq_len <= MAX_FUSED_SEQ_LEN
+        and dim <= MAX_FUSED_WIDTH
+        and dim % 128 == 0
+        and hidden_dim % 128 == 0
+        and hidden_dim == 4 * dim
+    )
+
+
+_SQRT_2 = math.sqrt(2.0)
+_INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
+
+
+def _erf(x):
+    """erf via Abramowitz-Stegun 7.1.26 (|err| < 1.5e-7, far below bf16
+    rounding): Mosaic has no erf primitive, so the kernel carries its own."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741
+                                   + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu(x):
+    # exact (erf-based) GELU on f32, matching jax.nn.gelu(approximate=False)
+    return x * 0.5 * (1.0 + _erf(x / _SQRT_2))
+
+
+def _gelu_grad(x):
+    phi = _INV_SQRT_2PI * jnp.exp(-0.5 * x * x)
+    cdf = 0.5 * (1.0 + _erf(x / _SQRT_2))
+    return cdf + x * phi
+
+
+def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, y_ref):
+    x = x_ref[0]  # (L, C)
+    h_pre = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
+    h_pre = h_pre + b1_ref[...].astype(jnp.float32)
+    h = _gelu(h_pre).astype(x.dtype)
+    y = jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
+    y = y + b2_ref[...].astype(jnp.float32)
+    y_ref[0] = y.astype(y_ref.dtype)
+
+
+def _bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, dy_ref,
+                dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
+    @pl.when(pl.program_id(0) == 0)
+    def _zero():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    x = x_ref[0]
+    dy = dy_ref[0]
+    h_pre = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
+    h_pre = h_pre + b1_ref[...].astype(jnp.float32)
+    h = _gelu(h_pre).astype(x.dtype)
+
+    dw2_ref[...] += jax.lax.dot_general(
+        h, dy, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    db2_ref[...] += jnp.sum(dy.astype(jnp.float32), axis=0, keepdims=True)
+    dh = jax.lax.dot_general(
+        dy, w2_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (L, 4C) f32
+    dh_pre = (dh * _gelu_grad(h_pre)).astype(x.dtype)
+
+    dw1_ref[...] += jax.lax.dot_general(
+        x, dh_pre, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    db1_ref[...] += jnp.sum(dh_pre.astype(jnp.float32), axis=0, keepdims=True)
+    dx = jax.lax.dot_general(
+        dh_pre, w1_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+def _fwd_call(x, w1, b1, w2, b2, interpret):
+    b, l, c = x.shape
+    hd = w1.shape[1]
+    xblk = pl.BlockSpec((1, l, c), lambda i: (i, 0, 0))
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=(b,),
+        in_specs=[
+            xblk,
+            pl.BlockSpec(w1.shape, lambda i: (0, 0)),
+            pl.BlockSpec((1, hd), lambda i: (0, 0)),
+            pl.BlockSpec(w2.shape, lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+        ],
+        out_specs=xblk,
+        out_shape=jax.ShapeDtypeStruct((b, l, c), x.dtype),
+        interpret=interpret,
+    )(x, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1))
+
+
+def _bwd_call(x, w1, b1, w2, dy, interpret):
+    b, l, c = x.shape
+    hd = w1.shape[1]
+    xblk = pl.BlockSpec((1, l, c), lambda i: (i, 0, 0))
+    dx, dw1, db1, dw2, db2 = pl.pallas_call(
+        _bwd_kernel,
+        grid=(b,),
+        in_specs=[
+            xblk,
+            pl.BlockSpec(w1.shape, lambda i: (0, 0)),
+            pl.BlockSpec((1, hd), lambda i: (0, 0)),
+            pl.BlockSpec(w2.shape, lambda i: (0, 0)),
+            xblk,
+        ],
+        out_specs=[
+            xblk,
+            pl.BlockSpec(w1.shape, lambda i: (0, 0)),
+            pl.BlockSpec((1, hd), lambda i: (0, 0)),
+            pl.BlockSpec(w2.shape, lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, l, c), x.dtype),
+            jax.ShapeDtypeStruct(w1.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, hd), jnp.float32),
+            jax.ShapeDtypeStruct(w2.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, w1, b1.reshape(1, -1), w2, dy)
+    return dx, dw1, db1.reshape(-1), dw2, db2.reshape(-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _fused_mlp(x, w1, b1, w2, b2, interpret):
+    return _fwd_call(x, w1, b1, w2, b2, interpret)
+
+
+def _fused_fwd(x, w1, b1, w2, b2, interpret):
+    return _fwd_call(x, w1, b1, w2, b2, interpret), (x, w1, b1, w2)
+
+
+def _fused_bwd(interpret, res, dy):
+    x, w1, b1, w2 = res
+    dx, dw1, db1, dw2, db2 = _bwd_call(x, w1, b1, w2, dy, interpret)
+    return (
+        dx,
+        dw1.astype(w1.dtype),
+        db1.astype(b1.dtype),
+        dw2.astype(w2.dtype),
+        db2.astype(w2.dtype),
+    )
+
+
+_fused_mlp.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_mlp(
+    x: jax.Array,
+    w1: jax.Array,
+    b1: jax.Array,
+    w2: jax.Array,
+    b2: jax.Array,
+    *,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Fused ``gelu(x @ w1 + b1) @ w2 + b2`` over (B, L, C) tokens."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _fused_mlp(x, w1, b1, w2, b2, bool(interpret))
