@@ -82,21 +82,29 @@ class Mlp(nn.Module):
     VMEM). Measured at decoder shapes (B=192 L=196 C=512, v5e): forward
     wins 10.8 vs 14.5 ms per 8-layer stack, but fwd+bwd is a wash (32.7 vs
     31.3) — the backward's dW accumulators push VMEM to ~15 MB and stall
-    the pipeline — so training paths default to the XLA composition and
-    the kernel is worth enabling for inference-only use.
+    the pipeline. Default (None): auto-enable on the tpu backend for
+    ``deterministic=True`` calls only — the eval/inference path (train
+    steps all pass deterministic=False). Differentiating through a
+    deterministic apply stays correct (the custom VJP is exact), just not
+    faster.
     """
 
     hidden_dim: int
     out_dim: Optional[int] = None
     dropout: float = 0.0
-    use_fused: bool = False
+    use_fused: Optional[bool] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         out_dim = self.out_dim or x.shape[-1]
-        if (
+        use_fused = (
             self.use_fused
+            if self.use_fused is not None
+            else (deterministic and jax.default_backend() == "tpu")
+        )
+        if (
+            use_fused
             and x.ndim == 3
             and out_dim == x.shape[-1]
             and (self.dropout == 0.0 or deterministic)
