@@ -76,6 +76,44 @@ class TestLayerDecay:
         assert grafted["backbone"]["vit_block_0"]["attn"]["qkv"]["kernel"] == 0.01
         assert grafted["head"]["kernel"] == 1.0
 
+    def test_convvit_swin_and_grafted_ids(self):
+        """Golden ids vs reference lr_decay.py:77-106 mappings."""
+        w = {"kernel": jnp.ones((2, 2))}
+        params = {
+            "backbone": {
+                "patch_embed1": {"proj": w},
+                "conv_block1_0": {"conv1": w},
+                "conv_block2_0": {"conv1": w},
+                "vit_block_0": {"attn": {"qkv": w}},
+                "vit_block_10": {"attn": {"qkv": w}},
+                "swin_block_1": {"attn": w},
+            },
+            "decoder": {"pred": w},
+        }
+        # convvit: num_layers = depth + 2; vit_block id + 3 (lr_decay.py:100)
+        s = layer_scale_tree(
+            params, num_layers=13, layer_decay=0.5, backbone_type="convvit"
+        )
+        b = s["backbone"]
+        assert b["patch_embed1"]["proj"]["kernel"] == 0.5 ** 13
+        assert b["conv_block1_0"]["conv1"]["kernel"] == 0.5 ** 12  # id 1
+        assert b["conv_block2_0"]["conv1"]["kernel"] == 0.5 ** 11  # id 2
+        assert b["vit_block_0"]["attn"]["qkv"]["kernel"] == 0.5 ** 10  # id 3
+        assert b["vit_block_10"]["attn"]["qkv"]["kernel"] == 0.5 ** 0  # id 13
+        assert s["decoder"]["pred"]["kernel"] == 1.0
+        # swin blocks fall through to the top scale (lr_decay.py:104-106:
+        # 'swin_block' never matches 'vit_block')
+        assert b["swin_block_1"]["attn"]["kernel"] == 0.5 ** 0
+        # grafted thirds: blocks 0-3 -> 0.01, 4-7 -> 0.1, 8+ -> 1; conv
+        # stages -> 0.01; non-backbone -> 1 (lr_decay.py:80-92)
+        g = layer_scale_tree(params, 12, layer_grafted=True)
+        gb = g["backbone"]
+        assert gb["conv_block1_0"]["conv1"]["kernel"] == 0.01
+        assert gb["conv_block2_0"]["conv1"]["kernel"] == 0.01
+        assert gb["vit_block_0"]["attn"]["qkv"]["kernel"] == 0.01
+        assert gb["vit_block_10"]["attn"]["qkv"]["kernel"] == 1.0
+        assert g["decoder"]["pred"]["kernel"] == 1.0
+
     def test_weight_decay_mask(self):
         params = {"w": jnp.ones((2, 2)), "b": jnp.ones((2,))}
         mask = weight_decay_mask(params)
