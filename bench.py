@@ -24,10 +24,11 @@ def main():
     from eventpretrain_tpu.train import build_optimizer, TrainState
     from eventpretrain_tpu.train.steps import make_rec_step
 
-    # bs sweep with the fused attention-layer kernel (which removed the
-    # (B, H, L, L) HBM intermediates): 128 -> 1282, 192 -> 1353, 256 -> 1348
-    # samples/s on v5e; the old bs128-beats-bs256 memory pressure is gone
-    batch = 192
+    # bs sweep with the LN-fused sub-block kernels (ops/fused_attn_layer.py
+    # fused_ln_attn_layer + ops/fused_mlp.py fused_ln_mlp): 192 -> 1348,
+    # 256 -> 1361, 384 -> 1384, 512 -> 1372 samples/s on v5e
+    # (pre-LN-fusion: 128 -> 1282, 192 -> 1353, 256 -> 1348)
+    batch = 384
     hub = pretrain_hub_base(dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     evg = jnp.asarray(rng.normal(size=(batch, 224, 224, 5)), jnp.float32)

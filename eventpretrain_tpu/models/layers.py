@@ -19,9 +19,15 @@ import flax.linen as nn
 from eventpretrain_tpu.ops.pallas_attention import fused_mha, supports_fused_mha
 from eventpretrain_tpu.ops.fused_attn_layer import (
     fused_attn_layer,
+    fused_ln_attn_layer,
     supports_fused_attn_layer,
 )
-from eventpretrain_tpu.ops.fused_mlp import fused_mlp, supports_fused_mlp
+from eventpretrain_tpu.ops.fused_mlp import (
+    fused_ln_mlp,
+    fused_mlp,
+    supports_fused_ln_mlp,
+    supports_fused_mlp,
+)
 
 Dtype = Any
 
@@ -50,6 +56,21 @@ class DenseParams(nn.Module):
             else None
         )
         return kernel, bias
+
+
+class LayerNormParams(nn.Module):
+    """nn.LayerNorm's exact param surface (scale, bias) without the math.
+
+    Lets ViTBlock hand the pre-norm parameters to the LN-fused sub-block
+    kernels (fused_ln_attn_layer / fused_ln_mlp) while keeping the tree
+    identical to the unfused nn.LayerNorm path.
+    """
+
+    @nn.compact
+    def __call__(self, dim: int):
+        scale = self.param("scale", nn.initializers.ones, (dim,))
+        bias = self.param("bias", nn.initializers.zeros, (dim,))
+        return scale, bias
 
 
 def drop_path(
@@ -96,8 +117,30 @@ class Mlp(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        deterministic: bool = True,
+        ln_residual: Optional[tuple] = None,
+    ) -> jax.Array:
         out_dim = self.out_dim or x.shape[-1]
+        if ln_residual is not None:
+            # ViTBlock's LN-fused sub-block path: y = x + MLP(LN(x)) in one
+            # kernel. The caller has verified eligibility (no dropout,
+            # supported shapes) and owns the norm params.
+            g, b, eps = ln_residual
+            w1, b1 = DenseParams(self.hidden_dim, name="fc1")(x.shape[-1])
+            w2, b2 = DenseParams(out_dim, name="fc2")(self.hidden_dim)
+            return fused_ln_mlp(
+                x.astype(self.dtype),
+                g.astype(jnp.float32),
+                b.astype(jnp.float32),
+                w1.astype(self.dtype),
+                b1.astype(self.dtype),
+                w2.astype(self.dtype),
+                b2.astype(self.dtype),
+                eps=eps,
+            )
         use_fused = (
             self.use_fused
             if self.use_fused is not None
@@ -161,10 +204,35 @@ class Attention(nn.Module):
         deterministic: bool = True,
         return_attn: bool = False,
         attn_bias: Optional[jax.Array] = None,
+        ln_residual: Optional[tuple] = None,
     ):
         b, n, c = x.shape
         head_dim = c // self.num_heads
         scale = self.qk_scale or head_dim ** -0.5
+
+        if ln_residual is not None:
+            # ViTBlock's LN-fused sub-block path: y = x + AttnLayer(LN(x))
+            # in one kernel. Caller verified eligibility and owns the norm
+            # params.
+            g, bb, eps = ln_residual
+            wqkv, bqkv = DenseParams(
+                c * 3, use_bias=self.qkv_bias, name="qkv"
+            )(c)
+            wo, bo = DenseParams(c, name="proj")(c)
+            x = x.astype(self.dtype)
+            out = fused_ln_attn_layer(
+                x,
+                g.astype(jnp.float32),
+                bb.astype(jnp.float32),
+                wqkv.astype(self.dtype),
+                (wqkv[0] * 0 if bqkv is None else bqkv).astype(self.dtype),
+                wo.astype(self.dtype),
+                bo.astype(self.dtype),
+                num_heads=self.num_heads,
+                scale=scale,
+                eps=eps,
+            )
+            return out, None
 
         use_fused_layer = (
             self.use_fused_layer
@@ -249,8 +317,26 @@ class ViTBlock(nn.Module):
         return_attn: bool = False,
     ):
         dim = x.shape[-1]
-        y = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm1")(x)
-        y, attn = Attention(
+        hidden_dim = int(dim * self.mlp_ratio)
+        use_fused_layer = (
+            self.use_fused_layer
+            if self.use_fused_layer is not None
+            else jax.default_backend() == "tpu"
+        )
+        # LN-fused sub-block path: both residual sub-blocks collapse to one
+        # Pallas kernel each (y = x + AttnLayer(LN(x)), y = x + MLP(LN(x))),
+        # keeping the (B, L, C) token stream out of HBM between LN, the
+        # matmuls, and the residual adds. Eligible whenever the stochastic
+        # regularizers are inactive (rates 0 or deterministic).
+        fuse_block = (
+            use_fused_layer
+            and not return_attn
+            and self.attn_drop == 0.0
+            and (self.drop == 0.0 or deterministic)
+            and (self.drop_path_rate == 0.0 or deterministic)
+            and supports_fused_attn_layer(x.shape[1], dim, self.num_heads)
+        )
+        attn_mod = Attention(
             num_heads=self.num_heads,
             qkv_bias=self.qkv_bias,
             qk_scale=self.qk_scale,
@@ -259,16 +345,37 @@ class ViTBlock(nn.Module):
             use_fused_layer=self.use_fused_layer,
             dtype=self.dtype,
             name="attn",
-        )(y, deterministic, return_attn)
-        x = x + DropPath(self.drop_path_rate)(y, deterministic)
-
-        y = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm2")(x)
-        y = Mlp(
-            hidden_dim=int(dim * self.mlp_ratio),
+        )
+        mlp_mod = Mlp(
+            hidden_dim=hidden_dim,
             dropout=self.drop,
             dtype=self.dtype,
             name="mlp",
-        )(y, deterministic)
+        )
+
+        if fuse_block:
+            g1, b1 = LayerNormParams(name="norm1")(dim)
+            x, attn = attn_mod(
+                x, deterministic,
+                ln_residual=(g1, b1, self.layer_norm_eps),
+            )
+            if supports_fused_ln_mlp(x.shape[1], dim, hidden_dim):
+                g2, b2 = LayerNormParams(name="norm2")(dim)
+                return mlp_mod(
+                    x, deterministic,
+                    ln_residual=(g2, b2, self.layer_norm_eps),
+                )
+            y = nn.LayerNorm(
+                epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm2"
+            )(x)
+            return x + mlp_mod(y, deterministic)
+
+        y = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm1")(x)
+        y, attn = attn_mod(y, deterministic, return_attn)
+        x = x + DropPath(self.drop_path_rate)(y, deterministic)
+
+        y = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm2")(x)
+        y = mlp_mod(y, deterministic)
         x = x + DropPath(self.drop_path_rate)(y, deterministic)
 
         if return_attn:

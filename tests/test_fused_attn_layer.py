@@ -122,3 +122,79 @@ def test_supports_gate():
     assert not supports_fused_attn_layer(2048, 512, 16)  # seq too long
     assert not supports_fused_attn_layer(196, 512, 5)  # indivisible heads
     assert not supports_fused_attn_layer(196, 96, 2)  # dim not 128-aligned
+
+
+def _ln(x, g, b, eps=1e-6):
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) / jnp.sqrt(var + eps) * g + b
+
+
+def test_ln_fused_matches_composition():
+    from eventpretrain_tpu.ops.fused_attn_layer import fused_ln_attn_layer
+
+    b, l, c, h = 2, 24, 128, 4
+    scale = (c // h) ** -0.5
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(b, l, c)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(c,)) * 0.1 + 1.0, jnp.float32)
+    beta = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
+    wqkv = jnp.asarray(rng.normal(size=(c, 3 * c)) * 0.05, jnp.float32)
+    bqkv = jnp.asarray(rng.normal(size=(3 * c,)) * 0.1, jnp.float32)
+    wo = jnp.asarray(rng.normal(size=(c, c)) * 0.05, jnp.float32)
+    bo = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
+
+    def composed(x, g, beta, wqkv, bqkv, wo, bo):
+        return x + _reference(_ln(x, g, beta), wqkv, bqkv, wo, bo, h, scale)
+
+    args = (x, g, beta, wqkv, bqkv, wo, bo)
+    y = fused_ln_attn_layer(*args, num_heads=h, scale=scale)
+    np.testing.assert_allclose(y, composed(*args), atol=2e-5, rtol=2e-5)
+
+    g1 = jax.grad(
+        lambda *a: jnp.sum(
+            jnp.sin(fused_ln_attn_layer(*a, num_heads=h, scale=scale))
+        ),
+        argnums=tuple(range(7)),
+    )(*args)
+    g2 = jax.grad(
+        lambda *a: jnp.sum(jnp.sin(composed(*a))), argnums=tuple(range(7))
+    )(*args)
+    names = ["dx", "dg", "dbeta", "dwqkv", "dbqkv", "dwo", "dbo"]
+    for name, a, b_ in zip(names, g1, g2):
+        err = float(jnp.max(jnp.abs(a - b_))) / (
+            float(jnp.max(jnp.abs(b_))) + 1e-9
+        )
+        assert err < 1e-5, (name, err)
+
+
+def test_vitblock_fused_block_parity():
+    """The LN-fused sub-block path of ViTBlock is numerically the unfused
+    pre-norm block, with an identical param tree."""
+    from eventpretrain_tpu.models.layers import ViTBlock
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 16, 128)), jnp.float32)
+    blk_f = ViTBlock(num_heads=4, use_fused_layer=True)
+    blk_u = ViTBlock(num_heads=4, use_fused_layer=False)
+    v = blk_u.init(jax.random.key(0), x)
+    v2 = blk_f.init(jax.random.key(0), x)
+    assert jax.tree.structure(v) == jax.tree.structure(v2)
+
+    yf = blk_f.apply(v, x, False)
+    yu = blk_u.apply(v, x, False)
+    np.testing.assert_allclose(yf, yu, atol=2e-5, rtol=2e-5)
+
+    gf = jax.grad(
+        lambda p: jnp.sum(blk_f.apply({"params": p}, x, False) ** 2)
+    )(v["params"])
+    gu = jax.grad(
+        lambda p: jnp.sum(blk_u.apply({"params": p}, x, False) ** 2)
+    )(v["params"])
+    errs = jax.tree.map(
+        lambda a, b: float(
+            jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-9)
+        ),
+        gf, gu,
+    )
+    assert max(jax.tree.leaves(errs)) < 1e-5
