@@ -1,0 +1,195 @@
+"""Train-step throughput for every phase the framework trains, one chip.
+
+Beyond bench.py's stage-1 headline, measures (bs, samples/s):
+  - con    : stage-2/3 contrastive (ViT-B dense encode + BN projector +
+             global token-InfoNCE)
+  - rec+con: joint stage (two forwards per step)
+  - cls    : ViT-S classification finetune (224^2, 100 classes)
+  - semseg : ViT-S + UPerHead/FCNHead, CE+Dice at 440x640 labels
+  - flow   : ViT-S + dense heads, masked L1 at 224^2 GT
+
+Each phase threads evolving train state, so the axon relay cannot cache
+(see BASELINE.md). Best of 3 windows of 8 steps. Usage:
+
+    PYTHONPATH=. python benchmarks/bench_all_steps.py [phase ...]
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from eventpretrain_tpu.train import TrainState, build_optimizer
+
+
+def _run(name, step, state, batch, bsz, iters=8, windows=3):
+    key = jax.random.key(0)
+    state, m = step(state, batch, key)
+    float(jax.tree.leaves(m)[0])
+    best = float("inf")
+    for w in range(windows):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, m = step(state, batch, jax.random.fold_in(key, w * iters + i))
+        float(jax.tree.leaves(m)[0])
+        best = min(best, (time.perf_counter() - t0) / iters)
+    print(f"{name:8s} bs{bsz:<4d}: {bsz / best:8.1f} samples/s "
+          f"({best * 1e3:.1f} ms/step)")
+
+
+def bench_con(use_queue=False):
+    from eventpretrain_tpu.models.pretrain_hub import pretrain_hub_base
+    from eventpretrain_tpu.objectives import init_queue
+    from eventpretrain_tpu.train.steps import make_con_step
+
+    bsz = 128
+    hub = pretrain_hub_base(dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    evg = jnp.asarray(rng.normal(size=(bsz, 224, 224, 5)), jnp.float32)
+    clip = jnp.asarray(rng.normal(size=(bsz, 197, 512)), jnp.float32)
+    variables = jax.jit(
+        lambda *a: hub.init(*a, train=True, method=hub.forward_con)
+    )(jax.random.key(0), evg[:1], clip[:1])
+    tx = build_optimizer(
+        variables["params"], learning_rate=1.5e-4, betas=(0.9, 0.95),
+        num_layers=12,
+    )
+    queue = (
+        init_queue(jax.random.key(1), hub.embed_dim, 196, 1024)
+        if use_queue else None
+    )
+    state = TrainState.create(
+        apply_fn=hub.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats"), tx=tx, queue=queue,
+    )
+    step = make_con_step(hub, use_queue=use_queue)
+    _run("con" + ("+q" if use_queue else ""), step, state,
+         {"evg": evg, "clip_emb": clip}, bsz)
+
+
+def bench_rec_con():
+    from eventpretrain_tpu.models.pretrain_hub import pretrain_hub_base
+    from eventpretrain_tpu.train.steps import make_rec_and_con_step
+
+    bsz = 128
+    hub = pretrain_hub_base(dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    evg = jnp.asarray(rng.normal(size=(bsz, 224, 224, 5)), jnp.float32)
+    frame = jnp.asarray(rng.normal(size=(bsz, 224, 224, 1)), jnp.float32)
+    clip = jnp.asarray(rng.normal(size=(bsz, 197, 512)), jnp.float32)
+    variables = jax.jit(
+        lambda *a: hub.init(*a, train=True, method=hub.forward_con)
+    )(jax.random.key(0), evg[:1], clip[:1])
+    rec_vars = jax.jit(
+        lambda *a: hub.init(*a, method=hub.forward_rec)
+    )(jax.random.key(0), evg[:1], jnp.arange(49)[None], jnp.arange(196)[None])
+    # deep-merge con + rec param trees (decoder only exists in the rec
+    # init; the backbone subtree differs per executed path), as the CLI does
+    from eventpretrain_tpu.train.state import merge_params
+
+    params = merge_params(variables["params"], rec_vars["params"])
+    tx = build_optimizer(
+        params, learning_rate=1.5e-4, betas=(0.9, 0.95), num_layers=12
+    )
+    state = TrainState.create(
+        apply_fn=hub.apply, params=params,
+        batch_stats=variables.get("batch_stats"), tx=tx,
+    )
+    step = make_rec_and_con_step(
+        hub, patch_size=16, num_patches=196, mask_ratio=0.75
+    )
+    _run("rec+con", step, state,
+         {"evg": evg, "frame": frame, "clip_emb": clip}, bsz)
+
+
+def bench_cls():
+    from eventpretrain_tpu.models.cls_hub import cls_hub_vit_small
+    from eventpretrain_tpu.train.steps import make_cls_train_step
+
+    bsz = 256
+    hub = cls_hub_vit_small(num_classes=100, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    evg = jnp.asarray(rng.normal(size=(bsz, 224, 224, 5)), jnp.float32)
+    label = jnp.asarray(rng.integers(0, 100, size=(bsz,)), jnp.int32)
+    variables = jax.jit(lambda k, x: hub.init(k, x))(
+        jax.random.key(0), evg[:1]
+    )
+    tx = build_optimizer(
+        variables["params"], learning_rate=1e-3, betas=(0.9, 0.999),
+        num_layers=12, layer_decay=0.75,
+    )
+    state = TrainState.create(
+        apply_fn=hub.apply, params=variables["params"], tx=tx
+    )
+    step = make_cls_train_step(hub, smoothing=0.1)
+    _run("cls", step, state, {"evg": evg, "label": label}, bsz)
+
+
+def bench_semseg():
+    from eventpretrain_tpu.models.dense_hub import dense_hub_vit_small
+    from eventpretrain_tpu.train.steps import make_semseg_train_step
+
+    bsz = 16
+    hub = dense_hub_vit_small(num_classes=11, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    evg = jnp.asarray(rng.normal(size=(bsz, 224, 224, 5)), jnp.float32)
+    label = jnp.asarray(rng.integers(0, 11, size=(bsz, 440, 640)), jnp.int32)
+    variables = jax.jit(lambda k, x: hub.init(k, x))(
+        jax.random.key(0), evg[:1]
+    )
+    tx = build_optimizer(
+        variables["params"], learning_rate=1e-3, betas=(0.9, 0.999),
+        num_layers=12, layer_decay=0.75,
+    )
+    state = TrainState.create(
+        apply_fn=hub.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats"), tx=tx,
+    )
+    step = make_semseg_train_step(hub, num_classes=11, ignore_index=255)
+    _run("semseg", step, state, {"evg": evg, "label": label}, bsz)
+
+
+def bench_flow():
+    from eventpretrain_tpu.models.dense_hub import dense_hub_vit_small
+    from eventpretrain_tpu.train.steps import make_flow_train_step
+
+    bsz = 16
+    hub = dense_hub_vit_small(num_classes=2, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    evg = jnp.asarray(rng.normal(size=(bsz, 224, 224, 5)), jnp.float32)
+    flow = jnp.asarray(rng.normal(size=(bsz, 224, 224, 2)), jnp.float32)
+    valid = jnp.asarray(rng.integers(0, 2, size=(bsz, 224, 224)), jnp.float32)
+    variables = jax.jit(lambda k, x: hub.init(k, x))(
+        jax.random.key(0), evg[:1]
+    )
+    tx = build_optimizer(
+        variables["params"], learning_rate=1e-3, betas=(0.9, 0.999),
+        num_layers=12, layer_decay=0.75,
+    )
+    state = TrainState.create(
+        apply_fn=hub.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats"), tx=tx,
+    )
+    step = make_flow_train_step(hub)
+    _run("flow", step, state,
+         {"evg": evg, "flow": flow, "valid": valid}, bsz)
+
+
+ALL = {
+    "con": bench_con,
+    "con_queue": lambda: bench_con(True),
+    "rec_con": bench_rec_con,
+    "cls": bench_cls,
+    "semseg": bench_semseg,
+    "flow": bench_flow,
+}
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(ALL)
+    for n in names:
+        try:
+            ALL[n]()
+        except Exception as e:
+            print(f"{n}: FAILED {type(e).__name__}: {str(e)[:200]}")
