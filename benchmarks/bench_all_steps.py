@@ -177,8 +177,42 @@ def bench_flow():
          {"evg": evg, "flow": flow, "valid": valid}, bsz)
 
 
+def bench_ecdp():
+    import functools
+
+    from eventpretrain_tpu.models.ecdp_hub import ecdp_model_base
+    from eventpretrain_tpu.train.steps import make_ecdp_step
+
+    bsz = 128
+    model = ecdp_model_base(dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    img_q = jnp.asarray(rng.normal(size=(bsz, 224, 224, 2)), jnp.float32)
+    img_k = jnp.asarray(rng.normal(size=(bsz, 224, 224, 2)), jnp.float32)
+    clip = jnp.asarray(rng.normal(size=(bsz, 512)), jnp.float32)
+    len_keep = 49
+    ids0 = jnp.tile(jnp.arange(len_keep)[None], (2, 1))
+    variables = jax.jit(
+        functools.partial(model.init, method=model.forward_query)
+    )(jax.random.key(0), img_q[:2], ids0, clip[:2])
+    params = variables["params"]
+    tx = build_optimizer(
+        params, learning_rate=1.5e-4, betas=(0.9, 0.95), num_layers=12
+    )
+    state = TrainState.create(
+        apply_fn=model.apply, params=params,
+        batch_stats=variables["batch_stats"], tx=tx,
+        ema_params=jax.tree.map(jnp.copy, params["encoder"]),
+    )
+    step = make_ecdp_step(
+        model, total_epochs=100.0, steps_per_epoch=100
+    )
+    _run("ecdp", step, state,
+         {"img_q": img_q, "img_k": img_k, "clip_emb": clip}, bsz)
+
+
 ALL = {
     "con": bench_con,
+    "ecdp": bench_ecdp,
     "con_queue": lambda: bench_con(True),
     "rec_con": bench_rec_con,
     "cls": bench_cls,
