@@ -169,3 +169,44 @@ class TestFlow:
         out = eval_step(state, batch)
         assert float(out["count"]) == 2 * 64 * 64
         assert np.isfinite(float(out["epe_sum"]))
+
+
+def test_dice_matches_one_hot_loop_formula():
+    """The vectorized dice (segment sums, no one-hot materialization) must
+    equal the reference's explicit per-class one-hot formula
+    (semseg_loss.py:48-112) to float precision."""
+    import jax
+
+    rng = np.random.default_rng(11)
+    B, H, W, C = 2, 17, 23, 5
+    logits = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, C, size=(B, H, W)), jnp.int32)
+    # sprinkle ignore pixels
+    labels = labels.at[0, :3, :3].set(255)
+
+    def loop_dice(logits, labels, num_classes, ignore_index, smooth=1.0):
+        keep = (labels != ignore_index).astype(jnp.float32)
+        lm = jnp.where(keep > 0, labels, 0)
+        one_hot = jax.nn.one_hot(lm, num_classes) * keep[..., None]
+        probs = jax.nn.softmax(logits, axis=-1) * keep[..., None]
+        total = 0.0
+        for c in range(num_classes):
+            if c == ignore_index:
+                continue
+            p = probs[..., c]
+            t = one_hot[..., c]
+            num = (p * t).sum() * 2 + smooth
+            den = (p ** 2 + t ** 2).sum() + smooth
+            total = total + (1 - num / den)
+        return total / num_classes
+
+    for ignore in (255, 4):
+        got = float(semseg_dice_loss(logits, labels, C, ignore_index=ignore))
+        want = float(loop_dice(logits, labels, C, ignore))
+        assert abs(got - want) < 1e-6, (ignore, got, want)
+
+    # no-ignore path
+    labels2 = jnp.asarray(rng.integers(0, C, size=(B, H, W)), jnp.int32)
+    got = float(semseg_dice_loss(logits, labels2, C))
+    want = float(loop_dice(logits, labels2, C, ignore_index=-1))
+    assert abs(got - want) < 1e-6
