@@ -177,6 +177,47 @@ def bench_flow():
          {"evg": evg, "flow": flow, "valid": valid}, bsz)
 
 
+def bench_swin_rec():
+    from eventpretrain_tpu.models.pretrain_hub import pretrain_hub_swin
+    from eventpretrain_tpu.train.steps import make_swin_rec_step
+
+    bsz = 64
+    hub = pretrain_hub_swin(dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    evg = jnp.asarray(rng.normal(size=(bsz, 224, 224, 5)), jnp.float32)
+    frame = jnp.asarray(rng.normal(size=(bsz, 224, 224, 1)), jnp.float32)
+
+    from eventpretrain_tpu.models.swin import plans_to_device
+    from eventpretrain_tpu.models.swin_plan import build_swin_plans
+
+    num_cells = 49
+    len_keep = int(num_cells * 0.5)
+    mask0 = jnp.zeros((1, num_cells)).at[:, len_keep:].set(1.0)
+    plans0 = plans_to_device(
+        build_swin_plans(
+            np.asarray(mask0[0], bool), input_resolution=(56, 56),
+            cell_grid=7,
+        )
+    )
+    import functools
+
+    variables = jax.jit(
+        functools.partial(hub.init, method=hub.forward_rec)
+    )(
+        jax.random.key(0), evg[:1], jnp.arange(len_keep)[None],
+        jnp.arange(num_cells)[None], mask=mask0, plans=plans0,
+    )
+    tx = build_optimizer(
+        variables["params"], learning_rate=1.5e-4, betas=(0.9, 0.95),
+        num_layers=12,
+    )
+    state = TrainState.create(
+        apply_fn=hub.apply, params=variables["params"], tx=tx
+    )
+    step = make_swin_rec_step(hub, mask_ratio=0.5)
+    _run("swin_rec", step, state, {"evg": evg, "frame": frame}, bsz)
+
+
 def bench_ecdp():
     import functools
 
@@ -212,6 +253,7 @@ def bench_ecdp():
 
 ALL = {
     "con": bench_con,
+    "swin_rec": bench_swin_rec,
     "ecdp": bench_ecdp,
     "con_queue": lambda: bench_con(True),
     "rec_con": bench_rec_con,
