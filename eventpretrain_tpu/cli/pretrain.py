@@ -344,6 +344,7 @@ def main(args=None):
                 mask_ratio=args.mask_ratio, decoder_patch_size=patch_size,
                 norm_pix_loss=args.norm_pix_loss,
                 input_resolution=args.input_size // 4,
+                plan_seed=args.seed,
             )
         else:
             step = make_rec_step(hub, **common)
@@ -358,6 +359,7 @@ def main(args=None):
                 mask_ratio=args.mask_ratio, decoder_patch_size=patch_size,
                 norm_pix_loss=args.norm_pix_loss,
                 input_resolution=args.input_size // 4,
+                plan_seed=args.seed,
                 use_queue=args.use_queue, temperature=args.temperature,
             )
         else:

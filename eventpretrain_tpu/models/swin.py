@@ -28,8 +28,8 @@ from eventpretrain_tpu.models.swin_plan import StagePlan, build_swin_plans
 class DeviceGroupPlan(NamedTuple):
     idx_shuffle: jax.Array    # (nG*GS,)
     idx_unshuffle: jax.Array  # (N_vis,)
-    attn_mask: jax.Array      # (nG, GS, GS)
-    rel_pos_idx: jax.Array    # (nG, GS, GS)
+    gid: jax.Array            # (nG, GS) int32, -1 = pad
+    coords_g: jax.Array       # (nG, GS, 2) int32
 
 
 class DeviceStagePlan(NamedTuple):
@@ -44,8 +44,8 @@ def plans_to_device(plans: Sequence[StagePlan]) -> tuple[DeviceStagePlan, ...]:
         return DeviceGroupPlan(
             idx_shuffle=jnp.asarray(p.idx_shuffle),
             idx_unshuffle=jnp.asarray(p.idx_unshuffle),
-            attn_mask=jnp.asarray(p.attn_mask),
-            rel_pos_idx=jnp.asarray(p.rel_pos_idx),
+            gid=jnp.asarray(p.gid),
+            coords_g=jnp.asarray(p.coords_g),
         )
 
     return tuple(
@@ -60,6 +60,27 @@ def plans_to_device(plans: Sequence[StagePlan]) -> tuple[DeviceStagePlan, ...]:
         )
         for sp in plans
     )
+
+
+def expand_plan(plan: "DeviceGroupPlan", window_size: int):
+    """Derive (attn_mask, rel_pos_idx) from a compact plan, on device.
+
+    Same formulas as the reference's GroupingModule (swin_block.py:372-387)
+    and the host-side swin_plan.expand_group_plan; runs inside the jitted
+    step so only ~60 KB of gid+coords crosses the host->device boundary per
+    training step instead of ~2 MB of precomputed (nG, GS, GS) tensors.
+    """
+    gid = plan.gid
+    pad = gid == -1
+    masked = (gid[:, :, None] != gid[:, None, :]) | (
+        pad[:, :, None] & pad[:, None, :]
+    )
+    attn_mask = jnp.where(masked, -100.0, 0.0).astype(jnp.float32)
+    rel = plan.coords_g[:, :, None, :] - plan.coords_g[:, None, :, :]
+    rel = rel + (window_size - 1)
+    idx = rel[..., 0] * (2 * window_size - 1) + rel[..., 1]
+    rel_pos_idx = jnp.where(masked, 0, idx).astype(jnp.int32)
+    return attn_mask, rel_pos_idx
 
 
 class WindowAttention(nn.Module):
@@ -134,7 +155,8 @@ class SparseSwinBlock(nn.Module):
     @nn.compact
     def __call__(self, x, plan: DeviceGroupPlan, deterministic=True):
         b, n, c = x.shape
-        gs = plan.attn_mask.shape[-1]
+        gs = plan.gid.shape[-1]
+        attn_mask, rel_pos_idx = expand_plan(plan, self.window_size)
         y = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
                          name="norm1")(x)
         y = jnp.take(y, plan.idx_shuffle, axis=1)
@@ -143,7 +165,7 @@ class SparseSwinBlock(nn.Module):
             num_heads=self.num_heads, window_size=self.window_size,
             qkv_bias=self.qkv_bias, attn_drop=self.attn_drop,
             proj_drop=self.drop, dtype=self.dtype, name="attn",
-        )(y, plan.attn_mask, plan.rel_pos_idx, deterministic)
+        )(y, attn_mask, rel_pos_idx, deterministic)
         y = y.reshape(b, -1, c)
         y = jnp.take(y, plan.idx_unshuffle, axis=1)
         x = x + DropPath(self.drop_path_rate)(y, deterministic)

@@ -30,12 +30,21 @@ import numpy as np
 
 
 class GroupPlan(NamedTuple):
-    """Static-shape grouping plan for one (stage, shift) parity."""
+    """Static-shape grouping plan for one (stage, shift) parity.
+
+    Carries only the compact per-slot data — group ids and coordinates;
+    the (nG, GS, GS) additive attention mask and relative-position index
+    tensors are derived on device inside the jitted step
+    (models/swin.py::expand_plan). Shipping them precomputed cost ~2 MB of
+    host->device transfer per training step (the masks are quadratic in
+    group size); gid+coords are ~60 KB and the expansion fuses into the
+    attention computation.
+    """
 
     idx_shuffle: np.ndarray    # (nG*GS,) int32 gather into token axis
     idx_unshuffle: np.ndarray  # (N_vis,) int32 gather back from group slots
-    attn_mask: np.ndarray      # (nG, GS, GS) float32, 0 or -100
-    rel_pos_idx: np.ndarray    # (nG, GS, GS) int32
+    gid: np.ndarray            # (nG, GS) int32 window id per slot, -1 = pad
+    coords_g: np.ndarray       # (nG, GS, 2) int32 token coords per slot
     grouped: bool              # False => masking mode (no shuffle)
 
 
@@ -107,6 +116,16 @@ def _rel_pos_idx(coords: np.ndarray, window_size: int) -> np.ndarray:
     return idx.astype(np.int64)
 
 
+def expand_group_plan(plan: "GroupPlan", window_size: int):
+    """Host (numpy) expansion of a compact plan into the
+    (attn_mask, rel_pos_idx) tensors — same formulas as the device-side
+    models/swin.py::expand_plan; used by parity tests."""
+    attn_mask = _attn_mask_from_gid(plan.gid)
+    rel = _rel_pos_idx(plan.coords_g, window_size)
+    rel = np.where(attn_mask != 0, 0, rel)
+    return attn_mask.astype(np.float32), rel.astype(np.int32)
+
+
 def make_group_plan(
     coords: np.ndarray,
     window_size: int,
@@ -121,14 +140,11 @@ def make_group_plan(
     n = coords.shape[0]
     if n <= 2 * window_size ** 2:
         gid = _window_group_id(coords, window_size, shift_size)[None]
-        attn_mask = _attn_mask_from_gid(gid)
-        rel = _rel_pos_idx(coords[None], window_size)
-        rel = np.where(attn_mask != 0, 0, rel)
         return GroupPlan(
             idx_shuffle=np.arange(n, dtype=np.int32),
             idx_unshuffle=np.arange(n, dtype=np.int32),
-            attn_mask=attn_mask.astype(np.float32),
-            rel_pos_idx=rel.astype(np.int32),
+            gid=gid.astype(np.int32),
+            coords_g=coords[None].astype(np.int32),
             grouped=False,
         )
 
@@ -164,15 +180,12 @@ def make_group_plan(
     idx_shuffle = np.where(idx_shuffle < 0, 0, idx_shuffle).astype(np.int32)
 
     gid_grid = np.stack(gmask)
-    attn_mask = _attn_mask_from_gid(gid_grid)
     coords_shuffled = coords[idx_shuffle.reshape(-1, group_size)]
-    rel = _rel_pos_idx(coords_shuffled, window_size)
-    rel = np.where(attn_mask != 0, 0, rel)
     return GroupPlan(
         idx_shuffle=idx_shuffle,
         idx_unshuffle=idx_unshuffle,
-        attn_mask=attn_mask.astype(np.float32),
-        rel_pos_idx=rel.astype(np.int32),
+        gid=gid_grid.astype(np.int32),
+        coords_g=coords_shuffled.astype(np.int32),
         grouped=True,
     )
 
@@ -257,9 +270,7 @@ def _cached_plans(mask_key, resolutions, window_size, cell_grid, bucket):
             # bucket the padded group count to avoid recompiles
             probe = make_group_plan(coords, ws, 0, None)
             probe_s = make_group_plan(coords, ws, shift, None)
-            ng = max(
-                probe.attn_mask.shape[0], probe_s.attn_mask.shape[0]
-            )
+            ng = max(probe.gid.shape[0], probe_s.gid.shape[0])
             ng = _round_up(ng, bucket)
             plan_even = make_group_plan(coords, ws, 0, ng)
             plan_odd = (

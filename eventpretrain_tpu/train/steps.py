@@ -290,6 +290,7 @@ def make_swin_rec_step(
     norm_pix_loss: bool = True,
     input_resolution: int = 56,
     window_size: int = 7,
+    plan_seed: int = 0,
 ) -> Callable:
     """Stage-1 masked-modeling step for the sparse Swin backbone.
 
@@ -331,10 +332,17 @@ def make_swin_rec_step(
         new_state = state.apply_gradients(grads)
         return new_state, {"loss": loss, "grad_norm": global_grad_norm(grads)}
 
+    # The cell mask is host-side planning input, so its randomness lives in
+    # a host generator owned by the step closure. Deriving it from the jax
+    # key (int(jax.random.randint(rng))) forced a device->host value fetch
+    # every step, which both costs a round-trip and drains the async
+    # dispatch queue — planning then ran serially instead of overlapping
+    # with device compute. Same determinism class as the (stateful) host
+    # data pipeline; `rng` still drives everything jitted (dropout etc.).
+    host_rng = np.random.default_rng(plan_seed)
+
     def step(state: TrainState, batch, rng):
         batch_size = batch["evg"].shape[0]
-        seed = int(jax.random.randint(rng, (), 0, 2 ** 31 - 1))
-        host_rng = np.random.default_rng(seed)
         noise = host_rng.random(num_cells)
         ids_shuffle = np.argsort(noise)
         ids_restore_np = np.argsort(ids_shuffle)
@@ -645,6 +653,7 @@ def make_swin_rec_and_con_step(
     window_size: int = 7,
     use_queue: bool = False,
     temperature: float = 0.07,
+    plan_seed: int = 0,
 ) -> Callable:
     """Combined rec+con step for the sparse Swin backbone (reference
     pr_rec_and_con_one_epoch with swin, pr_trainer.py:225-304)."""
@@ -697,10 +706,17 @@ def make_swin_rec_and_con_step(
             "grad_norm": global_grad_norm(grads),
         }
 
+    # The cell mask is host-side planning input, so its randomness lives in
+    # a host generator owned by the step closure. Deriving it from the jax
+    # key (int(jax.random.randint(rng))) forced a device->host value fetch
+    # every step, which both costs a round-trip and drains the async
+    # dispatch queue — planning then ran serially instead of overlapping
+    # with device compute. Same determinism class as the (stateful) host
+    # data pipeline; `rng` still drives everything jitted (dropout etc.).
+    host_rng = np.random.default_rng(plan_seed)
+
     def step(state: TrainState, batch, rng):
         batch_size = batch["evg"].shape[0]
-        seed = int(jax.random.randint(rng, (), 0, 2 ** 31 - 1))
-        host_rng = np.random.default_rng(seed)
         noise = host_rng.random(num_cells)
         ids_shuffle = np.argsort(noise)
         ids_restore_np = np.argsort(ids_shuffle)

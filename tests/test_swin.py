@@ -12,6 +12,7 @@ from eventpretrain_tpu.models.swin_plan import (
     merge_plan,
     visible_coords,
     build_swin_plans,
+    expand_group_plan,
 )
 from eventpretrain_tpu.models.swin import (
     SparseSwin,
@@ -44,8 +45,9 @@ class TestPlanning:
         coords = visible_coords(None, (28, 28), 7)
         plan = make_group_plan(coords, 7, 0)
         # 4x4 windows of exactly 49 tokens, no padding
-        assert plan.attn_mask.shape == (16, 49, 49)
-        assert (plan.attn_mask == 0).all()  # all tokens in a group share a window
+        attn_mask, _ = expand_group_plan(plan, 7)
+        assert attn_mask.shape == (16, 49, 49)
+        assert (attn_mask == 0).all()  # all tokens in a group share a window
         # shuffle/unshuffle are inverse
         n = coords.shape[0]
         x = np.arange(n)
@@ -56,7 +58,8 @@ class TestPlanning:
     def test_group_plan_shifted_has_masked_pairs(self):
         coords = visible_coords(None, (28, 28), 7)
         plan = make_group_plan(coords, 7, 3)
-        assert (plan.attn_mask == -100).any()
+        attn_mask, _ = expand_group_plan(plan, 7)
+        assert (attn_mask == -100).any()
         x = np.arange(coords.shape[0])
         restored = x[plan.idx_shuffle][plan.idx_unshuffle]
         np.testing.assert_array_equal(restored, x)

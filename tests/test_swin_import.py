@@ -122,9 +122,12 @@ def test_window_attention_forward_parity():
     attn = WindowAttention(num_heads=heads, window_size=ws)
     coords = visible_coords(None, (ws, ws), 1)
     plan = make_group_plan(coords, ws, 0)
+    from eventpretrain_tpu.models.swin_plan import expand_group_plan
+
+    attn_mask, rel_pos_idx = expand_group_plan(plan, ws)
     variables = attn.init(
-        jax.random.key(0), jnp.asarray(x), jnp.asarray(plan.attn_mask),
-        jnp.asarray(plan.rel_pos_idx),
+        jax.random.key(0), jnp.asarray(x), jnp.asarray(attn_mask),
+        jnp.asarray(rel_pos_idx),
     )
     # give the zero-init-prone params real values
     params = jax.tree.map(
@@ -132,8 +135,8 @@ def test_window_attention_forward_parity():
         variables["params"],
     )
     got = attn.apply(
-        {"params": params}, jnp.asarray(x), jnp.asarray(plan.attn_mask),
-        jnp.asarray(plan.rel_pos_idx),
+        {"params": params}, jnp.asarray(x), jnp.asarray(attn_mask),
+        jnp.asarray(rel_pos_idx),
     )
 
     # torch explicit computation with identical weights
@@ -150,7 +153,7 @@ def test_window_attention_forward_parity():
     q, k, v = qkv[0], qkv[1], qkv[2]
     q = q * (dim // heads) ** -0.5
     a = q @ k.transpose(-2, -1)
-    idx = torch.from_numpy(np.asarray(plan.rel_pos_idx[0]))
+    idx = torch.from_numpy(np.asarray(rel_pos_idx[0]))
     bias = table[idx.reshape(-1)].reshape(n, n, heads).permute(2, 0, 1)
     a = a + bias[None]
     a = a.softmax(dim=-1)
