@@ -37,15 +37,12 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
-MAX_FUSED_SEQ_LEN = 1024
-
-# The backward kernels' f32 dW accumulators + resident weights legitimately
-# need more than the 16 MB default scoped-VMEM budget at C=512/768 (the
-# LN-fused decoder backward missed it by 6 KB); raise the per-kernel cap —
-# v5e VMEM is far larger than the conservative default.
-_BWD_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
+from eventpretrain_tpu.ops.pallas_common import (
+    MAX_FUSED_SEQ_LEN,
+    VMEM_LIMIT as _BWD_VMEM_LIMIT,
+    ln_forward as _ln_forward_shared,
+)
 
 
 def supports_fused_attn_layer(seq_len: int, dim: int, num_heads: int) -> bool:
@@ -210,6 +207,7 @@ def _fwd_call(x, wqkv, bqkv, wo, bo, num_heads, scale, interpret):
         out_specs=xblk,
         out_shape=jax.ShapeDtypeStruct((b, l, c), x.dtype),
         interpret=interpret,
+        compiler_params=None if interpret else _BWD_VMEM_LIMIT,
     )(x, wqkv, bqkv.reshape(1, -1), wo, bo.reshape(1, -1))
 
 
@@ -245,11 +243,11 @@ def _fused_attn_layer(x, wqkv, bqkv, wo, bo, num_heads, scale, interpret):
 
 def _fused_fwd(x, wqkv, bqkv, wo, bo, num_heads, scale, interpret):
     y = _fwd_call(x, wqkv, bqkv, wo, bo, num_heads, scale, interpret)
-    return y, (x, wqkv, bqkv, wo)
+    return y, (x, wqkv, bqkv, wo, bo)
 
 
 def _fused_bwd(num_heads, scale, interpret, res, dy):
-    x, wqkv, bqkv, wo = res
+    x, wqkv, bqkv, wo, bo = res
     dx, dwqkv, dbqkv, dwo, dbo = _bwd_call(
         x, wqkv, bqkv, wo, dy, num_heads, scale, interpret
     )
@@ -258,7 +256,7 @@ def _fused_bwd(num_heads, scale, interpret, res, dy):
         dwqkv.astype(wqkv.dtype),
         dbqkv.astype(bqkv.dtype),
         dwo.astype(wo.dtype),
-        dbo.astype(wo.dtype),
+        dbo.astype(bo.dtype),
     )
 
 
@@ -309,17 +307,7 @@ def fused_attn_layer(
 # ---------------------------------------------------------------------------
 
 
-def _ln_forward(x, g_ref, b_ref, eps):
-    """f32 LayerNorm of an (L, C) block; returns (yln[x.dtype], xhat, rstd)."""
-    xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
-    rstd = jax.lax.rsqrt(var + eps)
-    xhat = (xf - mu) * rstd
-    yln = xhat * g_ref[...].astype(jnp.float32) + b_ref[...].astype(
-        jnp.float32
-    )
-    return yln.astype(x.dtype), xhat, rstd
+_ln_forward = _ln_forward_shared
 
 
 def _ln_fwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
@@ -382,6 +370,7 @@ def _ln_fwd_call(x, g, b, wqkv, bqkv, wo, bo, num_heads, scale, eps,
         out_specs=xblk,
         out_shape=jax.ShapeDtypeStruct((bsz, l, c), x.dtype),
         interpret=interpret,
+        compiler_params=None if interpret else _BWD_VMEM_LIMIT,
     )(
         x, g.reshape(1, -1), b.reshape(1, -1), wqkv,
         bqkv.reshape(1, -1), wo, bo.reshape(1, -1),
@@ -451,11 +440,11 @@ def _fused_ln_fwd(x, g, b, wqkv, bqkv, wo, bo, num_heads, scale, eps,
     y = _ln_fwd_call(
         x, g, b, wqkv, bqkv, wo, bo, num_heads, scale, eps, interpret
     )
-    return y, (x, g, b, wqkv, bqkv, wo)
+    return y, (x, g, b, wqkv, bqkv, wo, bo)
 
 
 def _fused_ln_bwd(num_heads, scale, eps, interpret, res, dy):
-    x, g, b, wqkv, bqkv, wo = res
+    x, g, b, wqkv, bqkv, wo, bo = res
     dx, dg, db, dwqkv, dbqkv, dwo, dbo = _ln_bwd_call(
         x, g, b, wqkv, bqkv, wo, dy, num_heads, scale, eps, interpret
     )
@@ -466,7 +455,7 @@ def _fused_ln_bwd(num_heads, scale, eps, interpret, res, dy):
         dwqkv.astype(wqkv.dtype),
         dbqkv.astype(bqkv.dtype),
         dwo.astype(wo.dtype),
-        dbo.astype(wo.dtype),
+        dbo.astype(bo.dtype),
     )
 
 

@@ -28,17 +28,15 @@ import math
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
-MAX_FUSED_SEQ_LEN = 1024
+from eventpretrain_tpu.ops.pallas_common import (
+    MAX_FUSED_SEQ_LEN,
+    VMEM_LIMIT as _BWD_VMEM_LIMIT,
+    ln_forward as _ln_forward_shared,
+)
 # bf16 weights (2*4*C^2*2B) + f32 dW accumulators (2*4*C^2*4B) must leave
 # room for activations in ~16MB VMEM: C=512 -> 12MB + scratch. C=768 -> 28MB.
 MAX_FUSED_WIDTH = 512
-
-# Raise the per-kernel scoped-VMEM cap for the backward kernels, whose f32
-# dW accumulators + resident weights legitimately exceed the 16 MB default
-# at C=512 (see fused_attn_layer._BWD_VMEM_LIMIT).
-_BWD_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
 
 
 def supports_fused_mlp(seq_len: int, dim: int, hidden_dim: int) -> bool:
@@ -156,6 +154,7 @@ def _fwd_call(x, w1, b1, w2, b2, interpret):
         out_specs=xblk,
         out_shape=jax.ShapeDtypeStruct((b, l, c), x.dtype),
         interpret=interpret,
+        compiler_params=None if interpret else _BWD_VMEM_LIMIT,
     )(x, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1))
 
 
@@ -199,18 +198,18 @@ def _fused_mlp(x, w1, b1, w2, b2, interpret):
 
 
 def _fused_fwd(x, w1, b1, w2, b2, interpret):
-    return _fwd_call(x, w1, b1, w2, b2, interpret), (x, w1, b1, w2)
+    return _fwd_call(x, w1, b1, w2, b2, interpret), (x, w1, b1, w2, b2)
 
 
 def _fused_bwd(interpret, res, dy):
-    x, w1, b1, w2 = res
+    x, w1, b1, w2, b2 = res
     dx, dw1, db1, dw2, db2 = _bwd_call(x, w1, b1, w2, dy, interpret)
     return (
         dx,
         dw1.astype(w1.dtype),
         db1.astype(b1.dtype),
         dw2.astype(w2.dtype),
-        db2.astype(w2.dtype),
+        db2.astype(b2.dtype),
     )
 
 
@@ -241,16 +240,7 @@ def fused_mlp(
 # ---------------------------------------------------------------------------
 
 
-def _ln_forward(x, g_ref, b_ref, eps):
-    xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
-    rstd = jax.lax.rsqrt(var + eps)
-    xhat = (xf - mu) * rstd
-    yln = xhat * g_ref[...].astype(jnp.float32) + b_ref[...].astype(
-        jnp.float32
-    )
-    return yln.astype(x.dtype), xhat, rstd
+_ln_forward = _ln_forward_shared
 
 
 def _ln_fwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
@@ -344,6 +334,7 @@ def _ln_fwd_call(x, g, b, w1, b1, w2, b2, eps, interpret):
         out_specs=xblk,
         out_shape=jax.ShapeDtypeStruct((bsz, l, c), x.dtype),
         interpret=interpret,
+        compiler_params=None if interpret else _BWD_VMEM_LIMIT,
     )(
         x, g.reshape(1, -1), b.reshape(1, -1), w1, b1.reshape(1, -1),
         w2, b2.reshape(1, -1),
@@ -407,7 +398,7 @@ def _fused_ln_mlp(x, g, b, w1, b1, w2, b2, eps, interpret):
 
 def _fused_ln_mlp_fwd(x, g, b, w1, b1, w2, b2, eps, interpret):
     y = _ln_fwd_call(x, g, b, w1, b1, w2, b2, eps, interpret)
-    return y, (x, g, b, w1, b1, w2)
+    return y, (x, g, b, w1, b1, w2, b2)
 
 
 def _xla_ln_mlp_bwd(x, g, b, w1, b1, w2, dy, eps):
@@ -455,7 +446,7 @@ def _xla_ln_mlp_bwd(x, g, b, w1, b1, w2, dy, eps):
 
 
 def _fused_ln_mlp_bwd(eps, interpret, res, dy):
-    x, g, b, w1, b1, w2 = res
+    x, g, b, w1, b1, w2, b2 = res
     if x.shape[-1] <= MAX_FUSED_WIDTH:
         dx, dg, dbeta, dw1, db1, dw2, db2 = _ln_bwd_call(
             x, g, b, w1, b1, w2, dy, eps, interpret
@@ -471,7 +462,7 @@ def _fused_ln_mlp_bwd(eps, interpret, res, dy):
         dw1.astype(w1.dtype),
         db1.astype(b1.dtype),
         dw2.astype(w2.dtype),
-        db2.astype(w2.dtype),
+        db2.astype(b2.dtype),
     )
 
 

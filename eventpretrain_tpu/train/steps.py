@@ -332,18 +332,25 @@ def make_swin_rec_step(
         new_state = state.apply_gradients(grads)
         return new_state, {"loss": loss, "grad_norm": global_grad_norm(grads)}
 
-    # The cell mask is host-side planning input, so its randomness lives in
-    # a host generator owned by the step closure. Deriving it from the jax
-    # key (int(jax.random.randint(rng))) forced a device->host value fetch
-    # every step, which both costs a round-trip and drains the async
-    # dispatch queue — planning then ran serially instead of overlapping
-    # with device compute. Same determinism class as the (stateful) host
-    # data pipeline; `rng` still drives everything jitted (dropout etc.).
-    host_rng = np.random.default_rng(plan_seed)
+    # The cell mask is host-side planning input, so its randomness lives on
+    # the host. Deriving it from the jax key (int(jax.random.randint(rng)))
+    # forced a device->host value fetch every step, which both costs a
+    # round-trip and drains the async dispatch queue — planning then ran
+    # serially instead of overlapping with device compute. The per-step
+    # noise is keyed by (plan_seed, domain tag, global step): the domain
+    # tag decorrelates it from data pipelines seeded with the same
+    # args.seed, and keying by the global step makes the mask schedule
+    # resume-consistent (one state.step fetch at the first call only).
+    step_counter = [None]
 
     def step(state: TrainState, batch, rng):
         batch_size = batch["evg"].shape[0]
-        noise = host_rng.random(num_cells)
+        if step_counter[0] is None:
+            step_counter[0] = int(state.step)
+        noise = np.random.default_rng(
+            [plan_seed, 0x5717A5, step_counter[0]]
+        ).random(num_cells)
+        step_counter[0] += 1
         ids_shuffle = np.argsort(noise)
         ids_restore_np = np.argsort(ids_shuffle)
         ids_keep_np = ids_shuffle[:len_keep]
@@ -706,18 +713,25 @@ def make_swin_rec_and_con_step(
             "grad_norm": global_grad_norm(grads),
         }
 
-    # The cell mask is host-side planning input, so its randomness lives in
-    # a host generator owned by the step closure. Deriving it from the jax
-    # key (int(jax.random.randint(rng))) forced a device->host value fetch
-    # every step, which both costs a round-trip and drains the async
-    # dispatch queue — planning then ran serially instead of overlapping
-    # with device compute. Same determinism class as the (stateful) host
-    # data pipeline; `rng` still drives everything jitted (dropout etc.).
-    host_rng = np.random.default_rng(plan_seed)
+    # The cell mask is host-side planning input, so its randomness lives on
+    # the host. Deriving it from the jax key (int(jax.random.randint(rng)))
+    # forced a device->host value fetch every step, which both costs a
+    # round-trip and drains the async dispatch queue — planning then ran
+    # serially instead of overlapping with device compute. The per-step
+    # noise is keyed by (plan_seed, domain tag, global step): the domain
+    # tag decorrelates it from data pipelines seeded with the same
+    # args.seed, and keying by the global step makes the mask schedule
+    # resume-consistent (one state.step fetch at the first call only).
+    step_counter = [None]
 
     def step(state: TrainState, batch, rng):
         batch_size = batch["evg"].shape[0]
-        noise = host_rng.random(num_cells)
+        if step_counter[0] is None:
+            step_counter[0] = int(state.step)
+        noise = np.random.default_rng(
+            [plan_seed, 0x5717A5, step_counter[0]]
+        ).random(num_cells)
+        step_counter[0] += 1
         ids_shuffle = np.argsort(noise)
         ids_restore_np = np.argsort(ids_shuffle)
         ids_keep_np = ids_shuffle[:len_keep]

@@ -50,7 +50,12 @@ def export_inference(
     artifact serves any batch size. Returns the serialized bytes, or writes
     them to ``path`` and returns the path.
     """
-    args = (example,) if isinstance(example, jax.Array) else tuple(example)
+    # a single array (jax OR numpy — anything with .shape) is one argument;
+    # only genuine sequences are multiple arguments
+    if hasattr(example, "shape"):
+        args = (example,)
+    else:
+        args = tuple(example)
     if symbolic_batch:
         scope = jax_export.SymbolicScope()
         (b,) = jax_export.symbolic_shape("b", scope=scope)
