@@ -16,17 +16,27 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import optax
 
 
 def semseg_ce_loss(
     logits: jax.Array, labels: jax.Array, ignore_index: Optional[int] = None
 ) -> jax.Array:
-    """logits: (B, H, W, C); labels: (B, H, W) int."""
+    """logits: (B, H, W, C); labels: (B, H, W) int.
+
+    The label logit is picked with a dense one-hot-by-comparison product
+    rather than optax's integer-label gather: the gather's backward lowers
+    to a scatter-add over every pixel (4.5M data-dependent indices at DSEC
+    resolution), which serializes on TPU and dominated the whole semseg
+    train step (160 ms vs 26 ms). Dense compare+multiply keeps the
+    backward as ``softmax - one_hot`` elementwise math.
+    """
     logits = logits.astype(jnp.float32)
-    ce = optax.softmax_cross_entropy_with_integer_labels(
-        logits, jnp.maximum(labels, 0)
-    )
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    one_hot = (
+        labels[..., None] == jnp.arange(logits.shape[-1], dtype=labels.dtype)
+    ).astype(jnp.float32)
+    label_logit = jnp.sum(logits * one_hot, axis=-1)
+    ce = lse - label_logit
     if ignore_index is None:
         return ce.mean()
     keep = (labels != ignore_index).astype(jnp.float32)

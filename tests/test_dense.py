@@ -210,3 +210,45 @@ def test_dice_matches_one_hot_loop_formula():
     got = float(semseg_dice_loss(logits, labels2, C))
     want = float(loop_dice(logits, labels2, C, ignore_index=-1))
     assert abs(got - want) < 1e-6
+
+
+def test_ce_dense_matches_optax_and_handles_oob_ignore():
+    """semseg_ce_loss computes the label logit densely (no gather): equal to
+    optax on in-range labels, and FINITE for out-of-range ignore labels
+    (e.g. 255) where the gather formulation produced nan*0=nan on CPU."""
+    import jax
+    import optax
+
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.normal(size=(2, 9, 7, 5)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 5, size=(2, 9, 7)), jnp.int32)
+
+    got = float(semseg_ce_loss(logits, labels))
+    want = float(
+        optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+    )
+    assert abs(got - want) < 1e-6
+
+    ga = jax.grad(lambda l: semseg_ce_loss(l, labels))(logits)
+    gb = jax.grad(
+        lambda l: optax.softmax_cross_entropy_with_integer_labels(
+            l, labels
+        ).mean()
+    )(logits)
+    assert float(jnp.abs(ga - gb).max()) < 1e-6
+
+    # in-range ignore index: masked mean matches the masked optax mean
+    ig = 4
+    got = float(semseg_ce_loss(logits, labels, ig))
+    keep = (labels != ig).astype(jnp.float32)
+    ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    want = float((ce * keep).sum() / keep.sum())
+    assert abs(got - want) < 1e-6
+
+    # out-of-range ignore label (DSEC's 255): finite loss and grads
+    labels255 = labels.at[0, 0, :3].set(255)
+    val = float(semseg_ce_loss(logits, labels255, 255))
+    g = jax.grad(lambda l: semseg_ce_loss(l, labels255, 255))(logits)
+    assert np.isfinite(val) and bool(jnp.isfinite(g).all())
+    # ignored pixels contribute no gradient
+    assert float(jnp.abs(g[0, 0, :3]).max()) == 0.0
