@@ -38,3 +38,51 @@ def test_matches_xla_scatter(rng):
         jnp.asarray(ev), counts, num_bins=bins, height=h, width=w, chunk=256
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+class TestMxuVoxelizer:
+    """MXU matmul voxelizer vs the scatter reference (interpret mode)."""
+
+    def _events(self, rng, b, e, h, w):
+        ev = np.stack([
+            np.floor(rng.uniform(-2, w + 2, (b, e))),   # incl. out-of-frame
+            np.floor(rng.uniform(-2, h + 2, (b, e))),
+            np.sort(rng.uniform(0, 1, (b, e)), axis=1),
+            rng.integers(0, 2, (b, e)).astype(np.float64),
+        ], axis=-1).astype(np.float32)
+        return jnp.asarray(ev)
+
+    def test_matches_scatter_reference(self, rng):
+        from eventpretrain_tpu.ops.events import events_to_voxel_grid
+        from eventpretrain_tpu.ops.pallas_voxel import voxelize_batch_mxu
+
+        b, e, h, w, nb = 3, 700, 24, 32, 5
+        ev = self._events(rng, b, e, h, w)
+        counts = jnp.asarray([700, 350, 1], jnp.int32)  # incl. padding tails
+        got = voxelize_batch_mxu(
+            ev, counts, num_bins=nb, height=h, width=w, chunk=256,
+        )
+        for i in range(b):
+            want = events_to_voxel_grid(
+                ev[i], counts[i], num_bins=nb, height=h, width=w
+            )
+            np.testing.assert_allclose(
+                np.asarray(got[i]), np.asarray(want), atol=2e-3, rtol=1e-3
+            )
+
+    def test_zero_count_sample(self, rng):
+        from eventpretrain_tpu.ops.pallas_voxel import voxelize_batch_mxu
+
+        ev = self._events(rng, 1, 64, 16, 16)
+        out = voxelize_batch_mxu(
+            ev, jnp.zeros((1,), jnp.int32), num_bins=5, height=16, width=16,
+            chunk=64,
+        )
+        assert float(jnp.abs(out).max()) == 0.0
+
+    def test_supports_gate(self):
+        from eventpretrain_tpu.ops.pallas_voxel import supports_mxu_voxelizer
+
+        assert supports_mxu_voxelizer(224, 224)
+        assert supports_mxu_voxelizer(128, 128)
+        assert not supports_mxu_voxelizer(440, 640)  # DSEC stays scatter
