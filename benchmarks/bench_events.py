@@ -30,15 +30,19 @@ def synth(b, e, h, w, seed=0):
 
 
 def timeit(fn, arg_sets, **kw):
-    """Each distinct input set is used exactly once: the axon relay caches
-    results for identical (executable, inputs) pairs, so repeated-input
-    timing loops measure nothing."""
+    """Each distinct input set is used exactly once (the axon relay caches
+    results for identical (executable, inputs) pairs), and the sync is a
+    VALUE FETCH: block_until_ready under-synchronizes through the relay —
+    it produced the retracted 150-400 GB/s scatter figures."""
+    import jax.numpy as jnp
+
     out = fn(*arg_sets[0], **kw)  # compile warmup (set 0 excluded below)
-    jax.block_until_ready(out)
+    float(jnp.sum(out))
     t0 = time.perf_counter()
+    acc = 0.0
     for args in arg_sets[1:]:
-        out = fn(*args, **kw)
-        jax.block_until_ready(out)
+        acc = acc + jnp.sum(fn(*args, **kw))
+    float(acc)
     return (time.perf_counter() - t0) / (len(arg_sets) - 1)
 
 
@@ -52,20 +56,28 @@ def main():
         (8, 200_000, 440, 640, 5),
     ]
     results = []
+    warmed = False
     for b, e, h, w, bins in configs:
         arg_sets = [synth(b, e, h, w, seed=s_) for s_ in range(9)]
         gb = arg_sets[0][0].nbytes / 1e9
+        if not warmed:
+            # the first timed executable in a process measures wildly slow
+            # through the relay; absorb that into a throwaway round
+            timeit(voxelize_batch_jit, arg_sets[:4], num_bins=bins,
+                   height=h, width=w)
+            warmed = True
         dt_xla = timeit(
             voxelize_batch_jit, arg_sets, num_bins=bins, height=h, width=w
         )
         row = {
             "config": f"B{b}xE{e} {h}x{w}x{bins}",
-            "xla_gbps": round(gb / dt_xla, 1),
-            "xla_ms": round(dt_xla * 1e3, 3),
-            "xla_events_per_sec": round(b * e / dt_xla / 1e9, 2),
+            "gbps": round(gb / dt_xla, 1),
+            "ms": round(dt_xla * 1e3, 3),
+            "m_events_per_sec": round(b * e / dt_xla / 1e6, 1),
         }
-        row["pallas"] = ("interpret-only: Mosaic lacks scalar VMEM "
-                         "stores (see ops/pallas_voxel.py)")
+        # note: voxelize_batch_jit now dispatches to the MXU matmul
+        # kernel for grids <= 256^2 (ops/pallas_voxel.py::voxelize_batch_mxu)
+        # and to XLA scatter for larger grids (DSEC row below)
         results.append(row)
         print(json.dumps(row))
     return results

@@ -1,20 +1,22 @@
-"""Pallas voxelizer (reference implementation; interpret-mode only).
+"""Pallas voxelizers: the scatter spec kernel and the MXU production kernel.
 
-The obvious Pallas route for event rasterization — per-sample voxel grid in
-VMEM, event chunks streamed in, indices/bilinear weights vectorized on the
-VPU, then per-event scatter accumulation — CANNOT currently lower to TPU:
-Mosaic (jax 0.9) rejects scalar stores to VMEM ("Cannot store scalars to
-VMEM"), and the TPU has no vector-scatter unit, so every formulation ends in
-either an unsupported scalar store or O(rows x events) one-hot vector work.
+Two generations live here:
 
-Measurement settles the design (benchmarks/bench_events.py, v5e):
-XLA's native scatter-add lowers to a sort-based batched implementation
-sustaining 538-679 GB/s of event throughput across N-Cars/ImageNet/DSEC
-shapes — at or above HBM copy speed for this access pattern. The production
-path (ops.events.events_to_voxel_grid*) therefore deliberately uses XLA
-scatter; this kernel is kept as the executable Pallas specification
-(exercised in interpret mode by tests/test_pallas_voxel.py) and as the
-starting point if Mosaic grows scatter support.
+1. ``voxelize_batch_pallas`` — the per-event scatter formulation
+   (interpret-mode only): Mosaic (jax 0.9) rejects scalar stores to VMEM
+   and the TPU has no vector-scatter unit, so this remains the executable
+   specification, exercised by tests.
+2. ``voxelize_batch_mxu`` — the production kernel (second section below):
+   rasterization recast as one-hot MATMULS on the MXU, 12.5-24x the XLA
+   scatter path at sensor-sized grids. This is what
+   ``ops.events.events_to_voxel_grid_batch`` dispatches to on TPU.
+
+History note: this module originally concluded that XLA's scatter-add
+sustained 538-679 GB/s and kept scatter as the production path. That
+measurement was an axon-relay result-cache artifact (identical inputs were
+never re-executed); honest re-measurement (benchmarks/bench_voxel_dense.py)
+shows ~10M events/s — data-dependent scatters serialize on TPU — which is
+what motivated the MXU kernel.
 """
 
 from __future__ import annotations
