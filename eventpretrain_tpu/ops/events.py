@@ -268,13 +268,56 @@ def events_to_voxel_grid_batch(events, counts, *, num_bins, height, width):
     )(events, counts)
 
 
+def _polarity_weights(events, counts):
+    """(B, 2, E) f32 [pos, neg] indicators, zeroed beyond count."""
+    b, e = events.shape[:2]
+    valid = (jnp.arange(e)[None] < counts[:, None]).astype(jnp.float32)
+    p = events[..., 3]
+    pos = jnp.where(p > 0, 1.0, 0.0) * valid
+    neg = jnp.where(p <= 0, 1.0, 0.0) * valid
+    return jnp.stack([pos, neg], axis=1)
+
+
 def events_to_image_ecdp_batch(events, counts, *, height, width):
+    """Batched ECDP [pos, neg] count image; MXU splat on TPU (same
+    dispatch rationale as events_to_voxel_grid_batch)."""
+    from eventpretrain_tpu.ops.pallas_voxel import (
+        splat_mxu,
+        supports_mxu_voxelizer,
+    )
+
+    if jax.default_backend() == "tpu" and supports_mxu_voxelizer(
+        height, width
+    ):
+        return splat_mxu(
+            events[..., 1].astype(jnp.int32),
+            events[..., 0].astype(jnp.int32),
+            _polarity_weights(events, counts),
+            height=height, width=width,
+        )
     return _batch(events_to_image_ecdp, height=height, width=width)(
         events, counts
     )
 
 
 def events_to_image_mem_batch(events, counts, *, height, width):
+    """Batched MEM [pos, 0, neg] image; MXU splat on TPU."""
+    from eventpretrain_tpu.ops.pallas_voxel import (
+        splat_mxu,
+        supports_mxu_voxelizer,
+    )
+
+    if jax.default_backend() == "tpu" and supports_mxu_voxelizer(
+        height, width
+    ):
+        img = splat_mxu(
+            events[..., 1].astype(jnp.int32),
+            events[..., 0].astype(jnp.int32),
+            _polarity_weights(events, counts),
+            height=height, width=width,
+        )
+        zeros = jnp.zeros_like(img[..., :1])
+        return jnp.concatenate([img[..., :1], zeros, img[..., 1:]], axis=-1)
     return _batch(events_to_image_mem, height=height, width=width)(
         events, counts
     )

@@ -198,6 +198,75 @@ def _mxu_voxel_kernel(yt_ref, xt_ref, hi_ref, lo_ref, out_ref, *,
         out_ref[0, b] += acc
 
 
+def splat_mxu(
+    y: jax.Array,
+    x: jax.Array,
+    weights: jax.Array,
+    *,
+    height: int,
+    width: int,
+    chunk: int = MXU_CHUNK,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Generic per-event splat on the MXU: ``(B, C, E)`` weights scattered
+    at integer coords ``y, x (B, E)`` into ``(B, H, W, C)`` images.
+
+    The shared engine behind the voxel grid (C = num_bins bilinear
+    weights), the ECDP count image (C = 2 polarity indicators), and the
+    MEM image. Out-of-frame or padded events simply match no one-hot
+    column and contribute nothing; weights must already be zeroed for
+    invalid (beyond-count) events.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, e = y.shape
+    c = weights.shape[1]
+    # hi/lo bf16 split via mantissa truncation. NOT the usual
+    # hi = cast(w, bf16); lo = w - cast(hi, f32): the terminal sets
+    # --xla_allow_excess_precision, under which XLA treats the f32->bf16
+    # ->f32 round-trip as identity and folds lo to ZERO (measured: error
+    # jumped from 1e-5 to 5e-3). Masking the low mantissa bits through an
+    # integer bitcast is opaque to that rewrite and truncation is exactly
+    # representable in bf16.
+    hi_f32 = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(weights, jnp.uint32)
+        & jnp.uint32(0xFFFF0000),
+        jnp.float32,
+    )
+    hi = hi_f32.astype(jnp.bfloat16)
+    lo = (weights - hi_f32).astype(jnp.bfloat16)
+
+    pad = (-e) % chunk
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)), constant_values=-1)
+        y = jnp.pad(y, ((0, 0), (0, pad)), constant_values=-1)
+        hi = jnp.pad(hi, ((0, 0), (0, 0), (0, pad)))
+        lo = jnp.pad(lo, ((0, 0), (0, 0), (0, pad)))
+    e_pad = e + pad
+
+    out = pl.pallas_call(
+        functools.partial(
+            _mxu_voxel_kernel, num_bins=c, height=height, width=width
+        ),
+        grid=(b, e_pad // chunk),
+        in_specs=[
+            pl.BlockSpec((1, 1, chunk), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, 1, chunk), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, c, chunk), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, c, chunk), lambda i, j: (i, 0, j)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, c, height, width), lambda i, j: (i, 0, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, c, height, width), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+    )(y[:, None, :], x[:, None, :], hi, lo)
+    return jnp.transpose(out, (0, 2, 3, 1))  # (B, H, W, C)
+
+
 def voxelize_batch_mxu(
     events: jax.Array,
     counts: jax.Array,
@@ -243,48 +312,7 @@ def voxelize_batch_mxu(
         + w_right[..., None] * (tis_i[..., None] + 1 == bins)
     )  # (B, E, NB) f32
     wb = jnp.transpose(wb, (0, 2, 1))  # (B, NB, E): lane-major events
-    # hi/lo bf16 split via mantissa truncation. NOT the usual
-    # hi = cast(wb, bf16); lo = wb - cast(hi, f32): the terminal sets
-    # --xla_allow_excess_precision, under which XLA treats the f32->bf16
-    # ->f32 round-trip as identity and folds lo to ZERO (measured: error
-    # jumped from 1e-5 to 5e-3). Masking the low mantissa bits through an
-    # integer bitcast is opaque to that rewrite and truncation is exactly
-    # representable in bf16.
-    hi_f32 = jax.lax.bitcast_convert_type(
-        jax.lax.bitcast_convert_type(wb, jnp.uint32) & jnp.uint32(0xFFFF0000),
-        jnp.float32,
-    )
-    hi = hi_f32.astype(jnp.bfloat16)
-    lo = (wb - hi_f32).astype(jnp.bfloat16)
-
-    pad = (-e) % chunk
-    if pad:
-        x = jnp.pad(x, ((0, 0), (0, pad)), constant_values=-1)
-        y = jnp.pad(y, ((0, 0), (0, pad)), constant_values=-1)
-        hi = jnp.pad(hi, ((0, 0), (0, 0), (0, pad)))
-        lo = jnp.pad(lo, ((0, 0), (0, 0), (0, pad)))
-    e_pad = e + pad
-
-    out = pl.pallas_call(
-        functools.partial(
-            _mxu_voxel_kernel, num_bins=num_bins, height=height, width=width
-        ),
-        grid=(b, e_pad // chunk),
-        in_specs=[
-            pl.BlockSpec((1, 1, chunk), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, 1, chunk), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, num_bins, chunk), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, num_bins, chunk), lambda i, j: (i, 0, j)),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, num_bins, height, width), lambda i, j: (i, 0, 0, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (b, num_bins, height, width), jnp.float32
-        ),
+    return splat_mxu(
+        y, x, wb, height=height, width=width, chunk=chunk,
         interpret=interpret,
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
-        ),
-    )(y[:, None, :], x[:, None, :], hi, lo)
-    return jnp.transpose(out, (0, 2, 3, 1))  # (B, H, W, NB)
+    )

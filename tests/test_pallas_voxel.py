@@ -86,3 +86,25 @@ class TestMxuVoxelizer:
         assert supports_mxu_voxelizer(224, 224)
         assert supports_mxu_voxelizer(128, 128)
         assert not supports_mxu_voxelizer(440, 640)  # DSEC stays scatter
+
+    def test_splat_matches_count_images(self, rng):
+        """splat_mxu reproduces the ECDP/MEM scatter count images."""
+        from eventpretrain_tpu.ops.events import (
+            _batch,
+            _polarity_weights,
+            events_to_image_ecdp,
+            events_to_image_mem,
+        )
+        from eventpretrain_tpu.ops.pallas_voxel import splat_mxu
+
+        b, e, h, w = 2, 300, 16, 24
+        ev = self._events(rng, b, e, h, w)
+        counts = jnp.asarray([300, 120], jnp.int32)
+        got = splat_mxu(
+            ev[..., 1].astype(jnp.int32), ev[..., 0].astype(jnp.int32),
+            _polarity_weights(ev, counts), height=h, width=w, chunk=128,
+        )
+        want = _batch(events_to_image_ecdp, height=h, width=w)(ev, counts)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-4
+        )
