@@ -62,8 +62,12 @@ def main():
         gb = arg_sets[0][0].nbytes / 1e9
         if not warmed:
             # the first timed executable in a process measures wildly slow
-            # through the relay; absorb that into a throwaway round
-            timeit(voxelize_batch_jit, arg_sets[:4], num_bins=bins,
+            # through the relay; absorb that into a throwaway round. The
+            # warmup MUST use seeds disjoint from the timed sets — reusing
+            # them would turn the first timed iterations into relay cache
+            # hits (the artifact class this file exists to avoid).
+            warm_sets = [synth(b, e, h, w, seed=100 + s_) for s_ in range(4)]
+            timeit(voxelize_batch_jit, warm_sets, num_bins=bins,
                    height=h, width=w)
             warmed = True
         dt_xla = timeit(

@@ -19,7 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from eventpretrain_tpu.ops.events import events_to_voxel_grid_batch
+from eventpretrain_tpu.ops.events import events_to_voxel_grid
 
 B, E, H, W, NB = 64, 30000, 224, 224, 5
 
@@ -105,8 +105,8 @@ def batched(fn, chunk):
 
 
 def bench(fn, tag, counts):
-    out = fn(make(0), counts)
-    out.block_until_ready()
+    # value-fetch sync: block_until_ready under-synchronizes on the relay
+    float(jnp.sum(fn(make(0), counts)))
     inputs = [make(i) for i in range(1, 7)]
     t0 = time.perf_counter()
     acc = 0.0
@@ -121,8 +121,11 @@ def bench(fn, tag, counts):
 if __name__ == "__main__":
     counts = jnp.full((B,), E, jnp.int32)
     ev0 = make(0)
-    ref = jax.jit(lambda ev, c: events_to_voxel_grid_batch(
-        ev, c, num_bins=NB, height=H, width=W))
+    # the EXPLICIT scatter formulation: the dispatching batch entry point
+    # now routes to the MXU kernel on TPU, which would make this baseline
+    # compare the MXU kernel against itself
+    ref = jax.jit(jax.vmap(functools.partial(
+        events_to_voxel_grid, num_bins=NB, height=H, width=W)))
     want = ref(ev0, counts)
     for chunk in (4, 8):
         got = batched(dense_voxel_a, chunk)(ev0, counts)
@@ -241,8 +244,11 @@ def _bench_mxu():
     counts = jnp.full((B,), E, jnp.int32)
     f = jax.jit(lambda ev, c: voxelize_batch_mxu(
         ev, c, num_bins=NB, height=H, width=W))
-    ref = jax.jit(lambda ev, c: events_to_voxel_grid_batch(
-        ev, c, num_bins=NB, height=H, width=W))
+    # the EXPLICIT scatter formulation: the dispatching batch entry point
+    # now routes to the MXU kernel on TPU, which would make this baseline
+    # compare the MXU kernel against itself
+    ref = jax.jit(jax.vmap(functools.partial(
+        events_to_voxel_grid, num_bins=NB, height=H, width=W)))
     ev0 = make(0)
     got = f(ev0, counts)
     want = ref(ev0, counts)
@@ -350,8 +356,11 @@ def voxelize_batch_mxu_v2(events, counts, *, num_bins, height, width,
 
 def _bench_mxu_v2():
     counts = jnp.full((B,), E, jnp.int32)
-    ref = jax.jit(lambda ev, c: events_to_voxel_grid_batch(
-        ev, c, num_bins=NB, height=H, width=W))
+    # the EXPLICIT scatter formulation: the dispatching batch entry point
+    # now routes to the MXU kernel on TPU, which would make this baseline
+    # compare the MXU kernel against itself
+    ref = jax.jit(jax.vmap(functools.partial(
+        events_to_voxel_grid, num_bins=NB, height=H, width=W)))
     want = ref(make(0), counts)
     for chunk in (512, 1024, 2048):
         f = jax.jit(functools.partial(

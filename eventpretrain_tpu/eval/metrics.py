@@ -68,10 +68,13 @@ def confusion_matrix(
     # on TPU; (N, C)^T @ (N, C) rides the MXU. Counts stay exact: f32
     # integers are exact to 2^24, far above any batch's pixel count.
     classes = jnp.arange(num_classes, dtype=jnp.int32)
+    # bf16 one-hots: 0/1 are exact in bf16 and the dot accumulates in f32,
+    # so this halves the (N, C) footprint (~200 MB each at DSEC eval
+    # shapes) with bit-identical counts
     p_oh = (
         (predict[:, None] == classes) & keep[:, None]
-    ).astype(jnp.float32)
-    t_oh = (target[:, None] == classes).astype(jnp.float32)
+    ).astype(jnp.bfloat16)
+    t_oh = (target[:, None] == classes).astype(jnp.bfloat16)
     conf = jax.lax.dot_general(
         p_oh, t_oh, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,

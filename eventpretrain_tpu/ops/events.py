@@ -239,6 +239,40 @@ def events_to_evrep(
     return out.reshape(height, width, 3)
 
 
+def bilinear_bin_weights(events, counts, num_bins):
+    """Per-event temporal-bilinear bin weights, ``(B, E, num_bins)`` f32.
+
+    The batched form of the weight math inside ``events_to_voxel_grid``
+    (window normalization over the first/last VALID timestamps, splat
+    ``p*(1-dt)`` into bin floor(ts) and ``p*dt`` into the next, polarity
+    0 -> -1, invalid/out-of-bin events zeroed). Shared with the MXU splat
+    path (ops/pallas_voxel.py::voxelize_batch_mxu) so the scatter and
+    matmul formulations cannot drift apart.
+    """
+    e = events.shape[1]
+    t = events[..., 2]
+    p = jnp.where(events[..., 3] == 0, -1.0, events[..., 3])
+    valid = jnp.arange(e)[None] < counts[:, None]
+    first = t[:, 0]
+    last = jnp.take_along_axis(
+        t, jnp.maximum(counts - 1, 0)[:, None], axis=1
+    )[:, 0]
+    delta_t = jnp.where(last - first == 0, 1.0, last - first)
+    ts = (num_bins - 1) * (t - first[:, None]) / delta_t[:, None]
+    tis = jnp.floor(ts)
+    dts = ts - tis
+    tis_i = tis.astype(jnp.int32)
+    left_ok = valid & (tis >= 0) & (tis < num_bins)
+    right_ok = valid & (tis >= 0) & (tis + 1 < num_bins)
+    w_left = jnp.where(left_ok, p * (1.0 - dts), 0.0)
+    w_right = jnp.where(right_ok, p * dts, 0.0)
+    bins = jnp.arange(num_bins)
+    return (
+        w_left[..., None] * (tis_i[..., None] == bins)
+        + w_right[..., None] * (tis_i[..., None] + 1 == bins)
+    )
+
+
 def _batch(fn, **static):
     return jax.vmap(functools.partial(fn, **static))
 

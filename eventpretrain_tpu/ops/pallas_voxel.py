@@ -286,31 +286,11 @@ def voxelize_batch_mxu(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    b, e = events.shape[:2]
     x = events[..., 0].astype(jnp.int32)
     y = events[..., 1].astype(jnp.int32)
-    t = events[..., 2]
-    p = jnp.where(events[..., 3] == 0, -1.0, events[..., 3])
+    from eventpretrain_tpu.ops.events import bilinear_bin_weights
 
-    valid = jnp.arange(e)[None] < counts[:, None]
-    first = t[:, 0]
-    last = jnp.take_along_axis(
-        t, jnp.maximum(counts - 1, 0)[:, None], axis=1
-    )[:, 0]
-    delta_t = jnp.where(last - first == 0, 1.0, last - first)
-    ts = (num_bins - 1) * (t - first[:, None]) / delta_t[:, None]
-    tis = jnp.floor(ts)
-    dts = ts - tis
-    tis_i = tis.astype(jnp.int32)
-    left_ok = valid & (tis >= 0) & (tis < num_bins)
-    right_ok = valid & (tis >= 0) & (tis + 1 < num_bins)
-    w_left = jnp.where(left_ok, p * (1.0 - dts), 0.0)
-    w_right = jnp.where(right_ok, p * dts, 0.0)
-    bins = jnp.arange(num_bins)
-    wb = (
-        w_left[..., None] * (tis_i[..., None] == bins)
-        + w_right[..., None] * (tis_i[..., None] + 1 == bins)
-    )  # (B, E, NB) f32
+    wb = bilinear_bin_weights(events, counts, num_bins)  # (B, E, NB) f32
     wb = jnp.transpose(wb, (0, 2, 1))  # (B, NB, E): lane-major events
     return splat_mxu(
         y, x, wb, height=height, width=width, chunk=chunk,

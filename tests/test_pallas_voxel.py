@@ -31,9 +31,15 @@ def test_matches_xla_scatter(rng):
         for _ in range(b)
     ])
     counts = jnp.asarray([e, 700], jnp.int32)
-    want = events_to_voxel_grid_batch(
-        jnp.asarray(ev), counts, num_bins=bins, height=h, width=w
-    )
+    # explicit scatter reference: the dispatching batch entry routes to
+    # the MXU kernel on TPU, which this test is not comparing against
+    import functools
+
+    from eventpretrain_tpu.ops.events import events_to_voxel_grid
+
+    want = jax.vmap(functools.partial(
+        events_to_voxel_grid, num_bins=bins, height=h, width=w
+    ))(jnp.asarray(ev), counts)
     got = pv.voxelize_batch_pallas.__wrapped__(
         jnp.asarray(ev), counts, num_bins=bins, height=h, width=w, chunk=256
     )
