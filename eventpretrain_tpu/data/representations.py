@@ -40,7 +40,14 @@ def build_representation(
     sensor_hw: Optional[jax.Array] = None,
     use_evrep: bool = False,
 ) -> jax.Array:
-    """(B, E, 4) padded events -> (B, height, width, C) representation."""
+    """(B, E, 4) padded events -> (B, height, width, C) representation.
+
+    Cross-backend reproducibility note: on TPU the MXU splat kernel carries
+    f32 weights as a bf16 hi+lo split, so representations differ from the
+    exact f32 scatter built on CPU/GPU by ~1e-3 relative — immaterial for
+    training inputs, but for bit-exact comparisons force the scatter path
+    (ops/events.py ``*_batch(..., use_mxu=False)``).
+    """
 
     # The *_batch entry points dispatch to the MXU splat kernel on TPU
     # (ops/pallas_voxel.py; 12.5-24x the vmapped scatter at sensor grids)

@@ -29,6 +29,14 @@ from eventpretrain_tpu.ops.fused_mlp import (
     supports_fused_mlp,
 )
 
+def _fused_auto_default() -> bool:
+    """Auto-enable fused Pallas kernels: TPU backend only, and never while
+    utils/export_infer.py is tracing a portable serving artifact."""
+    from eventpretrain_tpu.ops.pallas_common import xla_forced
+
+    return jax.default_backend() == "tpu" and not xla_forced()
+
+
 Dtype = Any
 
 
@@ -144,14 +152,15 @@ class Mlp(nn.Module):
         use_fused = (
             self.use_fused
             if self.use_fused is not None
-            else (deterministic and jax.default_backend() == "tpu")
+            else (deterministic and _fused_auto_default())
         )
         if (
             use_fused
             and x.ndim == 3
             and out_dim == x.shape[-1]
             and (self.dropout == 0.0 or deterministic)
-            and supports_fused_mlp(x.shape[1], x.shape[-1], self.hidden_dim)
+            and supports_fused_mlp(x.shape[1], x.shape[-1], self.hidden_dim,
+                                   self.dtype)
         ):
             w1, b1 = DenseParams(self.hidden_dim, name="fc1")(x.shape[-1])
             w2, b2 = DenseParams(out_dim, name="fc2")(self.hidden_dim)
@@ -237,14 +246,14 @@ class Attention(nn.Module):
         use_fused_layer = (
             self.use_fused_layer
             if self.use_fused_layer is not None
-            else jax.default_backend() == "tpu"
+            else _fused_auto_default()
         )
         if (
             use_fused_layer
             and not return_attn
             and attn_bias is None
             and self.attn_drop == 0.0
-            and supports_fused_attn_layer(n, c, self.num_heads)
+            and supports_fused_attn_layer(n, c, self.num_heads, self.dtype)
         ):
             wqkv, bqkv = DenseParams(
                 c * 3, use_bias=self.qkv_bias, name="qkv"
@@ -321,7 +330,7 @@ class ViTBlock(nn.Module):
         use_fused_layer = (
             self.use_fused_layer
             if self.use_fused_layer is not None
-            else jax.default_backend() == "tpu"
+            else _fused_auto_default()
         )
         # LN-fused sub-block path: both residual sub-blocks collapse to one
         # Pallas kernel each (y = x + AttnLayer(LN(x)), y = x + MLP(LN(x))),
@@ -334,7 +343,8 @@ class ViTBlock(nn.Module):
             and self.attn_drop == 0.0
             and (self.drop == 0.0 or deterministic)
             and (self.drop_path_rate == 0.0 or deterministic)
-            and supports_fused_attn_layer(x.shape[1], dim, self.num_heads)
+            and supports_fused_attn_layer(x.shape[1], dim, self.num_heads,
+                                          self.dtype)
         )
         attn_mod = Attention(
             num_heads=self.num_heads,
@@ -359,7 +369,7 @@ class ViTBlock(nn.Module):
                 x, deterministic,
                 ln_residual=(g1, b1, self.layer_norm_eps),
             )
-            if supports_fused_ln_mlp(x.shape[1], dim, hidden_dim):
+            if supports_fused_ln_mlp(x.shape[1], dim, hidden_dim, self.dtype):
                 g2, b2 = LayerNormParams(name="norm2")(dim)
                 return mlp_mod(
                     x, deterministic,

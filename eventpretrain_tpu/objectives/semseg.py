@@ -32,6 +32,11 @@ def semseg_ce_loss(
     """
     logits = logits.astype(jnp.float32)
     lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    if ignore_index is None:
+        # out-of-range labels (e.g. stray negatives) would otherwise yield an
+        # all-zero one-hot and silently turn CE into logsumexp; clamp to
+        # class 0 like the old optax integer-label path did
+        labels = jnp.clip(labels, 0, logits.shape[-1] - 1)
     one_hot = (
         labels[..., None] == jnp.arange(logits.shape[-1], dtype=labels.dtype)
     ).astype(jnp.float32)

@@ -277,7 +277,8 @@ def _batch(fn, **static):
     return jax.vmap(functools.partial(fn, **static))
 
 
-def events_to_voxel_grid_batch(events, counts, *, num_bins, height, width):
+def events_to_voxel_grid_batch(events, counts, *, num_bins, height, width,
+                               use_mxu=None):
     """Batched voxelizer: ``(B,E,4),(B,)`` -> ``(B,H,W,num_bins)``.
 
     On TPU with sensor grids up to 256^2 this dispatches to the MXU
@@ -285,15 +286,19 @@ def events_to_voxel_grid_batch(events, counts, *, num_bins, height, width):
     XLA scatter path, which serializes on data-dependent indices); larger
     grids and other backends use the scatter formulation, where O(E)
     work beats the dense kernel's all-pairs E*H*W.
+
+    The MXU kernel carries f32 splat weights as a bf16 hi+lo split
+    (~1e-3 relative error vs the exact scatter); pass ``use_mxu=False``
+    for bit-exact cross-backend comparisons.
     """
     from eventpretrain_tpu.ops.pallas_voxel import (
         supports_mxu_voxelizer,
         voxelize_batch_mxu,
     )
 
-    if jax.default_backend() == "tpu" and supports_mxu_voxelizer(
-        height, width
-    ):
+    if use_mxu is None:
+        use_mxu = jax.default_backend() == "tpu"
+    if use_mxu and supports_mxu_voxelizer(height, width):
         return voxelize_batch_mxu(
             events, counts, num_bins=num_bins, height=height, width=width
         )
@@ -312,7 +317,8 @@ def _polarity_weights(events, counts):
     return jnp.stack([pos, neg], axis=1)
 
 
-def events_to_image_ecdp_batch(events, counts, *, height, width):
+def events_to_image_ecdp_batch(events, counts, *, height, width,
+                               use_mxu=None):
     """Batched ECDP [pos, neg] count image; MXU splat on TPU (same
     dispatch rationale as events_to_voxel_grid_batch)."""
     from eventpretrain_tpu.ops.pallas_voxel import (
@@ -320,9 +326,9 @@ def events_to_image_ecdp_batch(events, counts, *, height, width):
         supports_mxu_voxelizer,
     )
 
-    if jax.default_backend() == "tpu" and supports_mxu_voxelizer(
-        height, width
-    ):
+    if use_mxu is None:
+        use_mxu = jax.default_backend() == "tpu"
+    if use_mxu and supports_mxu_voxelizer(height, width):
         return splat_mxu(
             events[..., 1].astype(jnp.int32),
             events[..., 0].astype(jnp.int32),
@@ -334,16 +340,17 @@ def events_to_image_ecdp_batch(events, counts, *, height, width):
     )
 
 
-def events_to_image_mem_batch(events, counts, *, height, width):
+def events_to_image_mem_batch(events, counts, *, height, width,
+                              use_mxu=None):
     """Batched MEM [pos, 0, neg] image; MXU splat on TPU."""
     from eventpretrain_tpu.ops.pallas_voxel import (
         splat_mxu,
         supports_mxu_voxelizer,
     )
 
-    if jax.default_backend() == "tpu" and supports_mxu_voxelizer(
-        height, width
-    ):
+    if use_mxu is None:
+        use_mxu = jax.default_backend() == "tpu"
+    if use_mxu and supports_mxu_voxelizer(height, width):
         img = splat_mxu(
             events[..., 1].astype(jnp.int32),
             events[..., 0].astype(jnp.int32),

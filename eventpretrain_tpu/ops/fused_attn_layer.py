@@ -45,7 +45,13 @@ from eventpretrain_tpu.ops.pallas_common import (
 )
 
 
-def supports_fused_attn_layer(seq_len: int, dim: int, num_heads: int) -> bool:
+def supports_fused_attn_layer(seq_len: int, dim: int, num_heads: int,
+                              dtype=None) -> bool:
+    # VMEM budgets (resident qkv/proj weights + f32 dW accumulators in the
+    # backward) are calibrated for 2-byte weights; an f32 model doubles them
+    # and risks a Mosaic compile failure, so f32 stays on XLA.
+    if dtype is not None and jnp.dtype(dtype).itemsize > 2:
+        return False
     if dim % num_heads != 0:
         return False
     head_dim = dim // num_heads

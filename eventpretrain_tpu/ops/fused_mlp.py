@@ -39,9 +39,19 @@ from eventpretrain_tpu.ops.pallas_common import (
 MAX_FUSED_WIDTH = 512
 
 
-def supports_fused_mlp(seq_len: int, dim: int, hidden_dim: int) -> bool:
+def _half_precision(dtype) -> bool:
+    """The VMEM budgets above assume 2-byte weights; an f32 model doubles
+    the in-kernel weight + transient footprint and can exceed the scoped
+    VMEM limit, so f32 configs stay on the XLA path. ``dtype=None``
+    preserves the historical bf16 assumption for callers that pre-cast."""
+    return dtype is None or jnp.dtype(dtype).itemsize <= 2
+
+
+def supports_fused_mlp(seq_len: int, dim: int, hidden_dim: int,
+                       dtype=None) -> bool:
     return (
-        seq_len <= MAX_FUSED_SEQ_LEN
+        _half_precision(dtype)
+        and seq_len <= MAX_FUSED_SEQ_LEN
         and dim <= MAX_FUSED_WIDTH
         and dim % 128 == 0
         and hidden_dim % 128 == 0
@@ -49,12 +59,14 @@ def supports_fused_mlp(seq_len: int, dim: int, hidden_dim: int) -> bool:
     )
 
 
-def supports_fused_ln_mlp(seq_len: int, dim: int, hidden_dim: int) -> bool:
+def supports_fused_ln_mlp(seq_len: int, dim: int, hidden_dim: int,
+                          dtype=None) -> bool:
     """Gate for the LN+MLP+residual variant: the forward kernel only needs
     the bf16 weights resident (C=768 fits at 9.4 MB); widths ≤ 512 also run
     the hidden-chunked Pallas backward, wider ones take the XLA backward."""
     return (
-        seq_len <= MAX_FUSED_SEQ_LEN
+        _half_precision(dtype)
+        and seq_len <= MAX_FUSED_SEQ_LEN
         and dim <= 768
         and dim % 128 == 0
         and hidden_dim % 256 == 0

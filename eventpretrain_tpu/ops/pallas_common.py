@@ -7,9 +7,31 @@ two kernel families.
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 from jax.experimental.pallas import tpu as pltpu
+
+# Trace-time override for the fused-kernel auto-enable gates: inside
+# force_xla() the models trace their portable XLA path regardless of the
+# host backend. Used by utils/export_infer.py — a serving artifact must not
+# bake in pallas_call (symbolic batch grids are unsupported, and the host
+# backend at export time need not match the serving platform).
+_FORCE_XLA = [False]
+
+
+@contextlib.contextmanager
+def force_xla():
+    _FORCE_XLA[0] = True
+    try:
+        yield
+    finally:
+        _FORCE_XLA[0] = False
+
+
+def xla_forced() -> bool:
+    return _FORCE_XLA[0]
 
 # The kernels' f32 dW accumulators + resident weights legitimately need
 # more than the 16 MB default scoped-VMEM budget at C=512/768; raise the

@@ -9,7 +9,10 @@ checkpoint surgery — only jax and the artifact bytes.
 
 Artifacts are exported for the platform given (default: the current
 backend) and can target "tpu" from a CPU host (cross-platform lowering),
-so CI can produce TPU serving artifacts.
+so CI can produce TPU serving artifacts. Exports always trace the
+portable XLA graph — the fused Pallas training kernels are excluded
+(symbolic batch grids are unsupported by pallas_call, and the artifact
+must not depend on the export host's backend).
 
 Usage::
 
@@ -65,10 +68,17 @@ def export_inference(
     else:
         specs = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args)
 
-    exp = jax_export.export(
-        jax.jit(fn),
-        platforms=list(platforms) if platforms else None,
-    )(*specs)
+    # Serving artifacts always trace the portable XLA path: pallas_call
+    # cannot stage a symbolic batch grid, and the host backend at export
+    # time (often CPU CI) need not match the serving platform, so the fused
+    # Pallas kernels — a training-time optimization — are never baked in.
+    from eventpretrain_tpu.ops.pallas_common import force_xla
+
+    with force_xla():
+        exp = jax_export.export(
+            jax.jit(fn),
+            platforms=list(platforms) if platforms else None,
+        )(*specs)
     blob = bytes(exp.serialize())
     if path is None:
         return blob
@@ -104,8 +114,8 @@ def export_cls_inference(
 ) -> bytes | str:
     """Freeze a classification hub's logits fn (mean-pool head path).
 
-    Uses the deterministic eval forward (the fused inference kernels
-    auto-enable on the tpu platform).
+    Uses the deterministic eval forward on the portable XLA path (see
+    module docstring: fused Pallas kernels are never baked into artifacts).
     """
 
     def logits_fn(evg):
