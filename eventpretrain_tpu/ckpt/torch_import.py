@@ -138,6 +138,25 @@ def _flax_path_to_torch_key(path: list[str]) -> tuple[str, str]:
         if name == "fpn_bn":
             parts.extend(["fpn", "1"])
             continue
+        # dense heads (reference ft_dense_decoder.py:86-201): UPerHead's
+        # PPM entries are Sequential(AdaptiveAvgPool2d, ConvModule) so the
+        # ConvModule sits at index 1; FCNHead's convs is a plain Sequential
+        m = re.fullmatch(r"psp_(\d+)", name)
+        if m:
+            parts.extend(["psp_modules", m.group(1), "1"])
+            continue
+        m = re.fullmatch(r"lateral_(\d+)", name)
+        if m:
+            parts.extend(["lateral_convs", m.group(1)])
+            continue
+        m = re.fullmatch(r"fpn_(\d+)", name)
+        if m:
+            parts.extend(["fpn_convs", m.group(1)])
+            continue
+        m = re.fullmatch(r"convs_(\d+)", name)
+        if m:
+            parts.extend(["convs", m.group(1)])
+            continue
         parts.append(name)
 
     if leaf == "kernel":
@@ -189,7 +208,12 @@ def _convert(value: np.ndarray, target_shape: tuple, kind: str,
     return value
 
 
-_SKIP_SUBSTRINGS = ("pos_embed", "relative_position_index")
+_SKIP_SUBSTRINGS = (
+    "pos_embed",
+    "relative_position_index",
+    "num_batches_tracked",  # torch BatchNorm counter, no flax equivalent
+    "attn_mask",            # swin SW-MSA masks are recomputed buffers
+)
 
 
 def import_torch_params(

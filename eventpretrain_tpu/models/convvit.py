@@ -62,7 +62,8 @@ class ConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
         dim = x.shape[-1]
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        # torch nn.LayerNorm default eps (reference conv_block.py:28,37)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         y = nn.Conv(dim, (1, 1), dtype=self.dtype, name="conv1")(y)
         if mask is not None:
             y = y * mask[..., None]
@@ -74,7 +75,7 @@ class ConvBlock(nn.Module):
         y = nn.Conv(dim, (1, 1), dtype=self.dtype, name="conv2")(y)
         x = x + DropPath(self.drop_path_rate)(y, deterministic)
 
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = CMlp(
             hidden_dim=int(dim * self.mlp_ratio), dropout=self.drop,
             dtype=self.dtype, name="mlp",

@@ -18,6 +18,7 @@ import flax.linen as nn
 from eventpretrain_tpu.models.convvit import ConvBlock, _upsample_mask
 from eventpretrain_tpu.models.layers import PatchEmbed, ViTBlock
 from eventpretrain_tpu.ops.pos_embed import get_2d_sincos_pos_embed
+from eventpretrain_tpu.ops.reshape import emb2patch_frame
 
 
 class ConvViTECDP(nn.Module):
@@ -25,6 +26,14 @@ class ConvViTECDP(nn.Module):
     patch_sizes: Sequence[int] = (4, 2, 2)
     embed_dims: Sequence[int] = (128, 256, 384)
     depths: Sequence[int] = (2, 2, 11)
+    # Dense-task feature taps over the stage-3 blocks. The reference's
+    # convvit_ecdp has NO dense path at all — its forward returns only
+    # (emb, attn) (reference convvit_ecdp.py:156-184) while
+    # ft_dense_hub_model.py:249-250 unpacks three values, an unpack crash
+    # for every convvit_ecdp dense config. We repair it the way
+    # vit_ecdp.py:135-143 works: 4 token-map taps at 14^2 feeding the
+    # in_channels=[D,D,D,D] decoder grid (ft_dense_decoder.py:226-238).
+    out_indices: Sequence[int] = (2, 4, 6, 10)
     num_heads: int = 12
     mlp_ratio: float = 4.0
     num_bins: int = 2
@@ -145,15 +154,18 @@ class ConvViTECDP(nn.Module):
         x = self._conv_stages(x, None, None, deterministic)
         x = self._prepend_tokens(x)
         attn = None
+        out_embs = []
         last = len(self.vit_block) - 1
         for i, blk in enumerate(self.vit_block):
             if i == last and return_attn:
                 x, attn = blk(x, deterministic, return_attn=True)
             else:
                 x = blk(x, deterministic)
+            if return_pyramid and i in self.out_indices:
+                out_embs.append(emb2patch_frame(x[:, 2:, :]))
         x = self.norm_layer(x)
         emb = jnp.concatenate([x[:, 0], x[:, 1]], axis=1)
-        return emb, [], attn
+        return emb, out_embs, attn
 
     def __call__(self, x, deterministic: bool = True):
         return self.encode_dense(x, deterministic)

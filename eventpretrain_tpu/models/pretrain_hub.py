@@ -64,7 +64,10 @@ class PrHub(nn.Module):
             dtype=self.dtype,
             name="emb_h_pred",
         )
-        self.norm_clip_emb = nn.LayerNorm(dtype=self.dtype, name="norm_clip_emb")
+        # torch nn.LayerNorm default eps (reference pr_hub_model.py:92)
+        self.norm_clip_emb = nn.LayerNorm(
+            epsilon=1e-5, dtype=self.dtype, name="norm_clip_emb"
+        )
         if self.clip_proj_conv:
             self.clip_emb_proj = nn.Conv(
                 self.embed_dim, (2, 2), strides=(2, 2), padding="VALID",

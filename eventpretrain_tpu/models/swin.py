@@ -213,6 +213,10 @@ class SparseSwin(nn.Module):
     use_feature_fusion: bool = True
     with_rec_decoders: bool = True
     with_fpn: bool = False
+    # SwinECDDP reuses this trunk but the reference ECDDP model has NO final
+    # norm_layer (per-out-index norms instead, swin_ecddp.py:96-99); setting
+    # False keeps the param tree import-strict against its checkpoints
+    with_final_norm: bool = True
     layer_norm_eps: float = 1e-6
     dtype: Any = jnp.float32
 
@@ -271,9 +275,11 @@ class SparseSwin(nn.Module):
                 )
         self.stages = blocks
         self.merges = merges
-        self.norm_layer = nn.LayerNorm(
-            epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm_layer"
-        )
+        if self.with_final_norm:
+            self.norm_layer = nn.LayerNorm(
+                epsilon=self.layer_norm_eps, dtype=self.dtype,
+                name="norm_layer",
+            )
         if self.with_rec_decoders:
             # kernel per stage: stage res -> mask-cell grid (8/4/2 for the
             # tiny config, reference swin.py:92-94)
@@ -393,7 +399,9 @@ class SparseSwin(nn.Module):
         res0 = self.patches_resolution
         x = self._embed_visible(x, plans[0].coords_flat, deterministic)
         outs = self._run_stages(x, plans, deterministic)
-        emb_h = self.norm_layer(outs[-1])
+        emb_h = (
+            self.norm_layer(outs[-1]) if self.with_final_norm else outs[-1]
+        )
 
         out_embs = []
         if return_pyramid:

@@ -46,7 +46,8 @@ class SwinECDDP(nn.Module):
             num_bins=self.num_bins, drop_rate=self.drop_rate,
             attn_drop_rate=self.attn_drop_rate,
             drop_path_rate=self.drop_path_rate,
-            with_rec_decoders=False, layer_norm_eps=self.layer_norm_eps,
+            with_rec_decoders=False, with_final_norm=False,
+            layer_norm_eps=self.layer_norm_eps,
             dtype=self.dtype, name="backbone_swin",
         )
         if self.ape:
@@ -70,49 +71,49 @@ class SwinECDDP(nn.Module):
         self, x: jax.Array, deterministic: bool = True,
         return_attn: bool = False, return_pyramid: bool = False,
     ):
-        """Returns (emb_l1, emb_l2, emb_h, out_embs, attn); out_embs have the
-        per-index norms applied (reference swin_ecddp.py:96-99,157-215)."""
-        # reuse the sparse machinery's dense path, but intercept to add ape
-        plans = None
-        if self.ape:
-            # apply ape inside by shifting input through the swin embed:
-            # SparseSwin adds no pos embed, so add it to patch tokens via a
-            # wrapper: embed -> +ape -> stages. We inline the same steps.
-            sw = self.swin
-            import eventpretrain_tpu.models.swin as swin_mod
+        """Returns (emb_l1, emb_l2, emb_h, out_embs, attn).
 
-            if plans is None:
-                plans = swin_mod.plans_to_device(
-                    swin_mod.build_swin_plans(
-                        None,
-                        input_resolution=sw.patches_resolution,
-                        num_stages=len(sw.depths),
-                        window_size=sw.window_size,
-                        cell_grid=sw.cell_grid,
-                    )
-                )
-            t = sw._embed_visible(x, plans[0].coords_flat, deterministic)
-            t = t + self.absolute_pos_embed.astype(t.dtype)
-            outs = sw._run_stages(t, plans, deterministic)
-            emb_h = sw.norm_layer(outs[-1])
-        else:
-            emb_l1, emb_l2, emb_h, outs_pyr, _ = self.swin.encode_dense(
-                x, deterministic=deterministic, return_attn=False,
-                return_pyramid=True,
+        Reference parity (swin_ecddp.py:212-224): there is NO shared final
+        norm — each out_index gets its own LayerNorm, ``emb_h`` IS the
+        norm3-applied stage-4 tokens (``emb_h = emb_l4``), and the returned
+        low-level embeddings are the norm0/norm1-applied stage tokens.
+        """
+        sw = self.swin
+        import eventpretrain_tpu.models.swin as swin_mod
+
+        plans = swin_mod.plans_to_device(
+            swin_mod.build_swin_plans(
+                None,
+                input_resolution=sw.patches_resolution,
+                num_stages=len(sw.depths),
+                window_size=sw.window_size,
+                cell_grid=sw.cell_grid,
+                # mmseg-style shifted windows: stage-4 shift is NOT clamped
+                # (reference swin_ecddp_block.py:187-243)
+                clamp_shift=False,
             )
-            res0 = self.swin.patches_resolution
-            outs = [
-                o.reshape(o.shape[0], -1, o.shape[-1]) for o in outs_pyr
-            ]
+        )
+        t = sw._embed_visible(x, plans[0].coords_flat, deterministic)
+        if self.ape:
+            t = t + self.absolute_pos_embed.astype(t.dtype)
+        outs = sw._run_stages(t, plans, deterministic)
 
+        normed = {
+            i: self.out_norms[j](outs[i])
+            for j, i in enumerate(self.out_indices)
+        }
+        emb_h = normed[max(self.out_indices)]
         out_embs = []
         if return_pyramid:
-            res0 = self.swin.patches_resolution
-            for j, i in enumerate(self.out_indices):
-                o = self.out_norms[j](outs[i])
+            res0 = sw.patches_resolution
+            for i in self.out_indices:
+                o = normed[i]
                 h = res0[0] >> i
                 out_embs.append(o.reshape(o.shape[0], h, h, o.shape[-1]))
-        return outs[0], outs[1], emb_h, out_embs, None
+        return (
+            normed.get(0, outs[0]), normed.get(1, outs[1]), emb_h,
+            out_embs, None,
+        )
 
     def __call__(self, x, deterministic: bool = True):
         out = self.encode_dense(x, deterministic)

@@ -256,7 +256,9 @@ def _round_up(x: int, mult: int) -> int:
 
 
 @functools.lru_cache(maxsize=64)
-def _cached_plans(mask_key, resolutions, window_size, cell_grid, bucket):
+def _cached_plans(
+    mask_key, resolutions, window_size, cell_grid, bucket, clamp_shift=True
+):
     mask_cells = (
         np.array(mask_key, dtype=bool) if mask_key is not None else None
     )
@@ -264,7 +266,16 @@ def _cached_plans(mask_key, resolutions, window_size, cell_grid, bucket):
     coords = visible_coords(mask_cells, resolutions[0], cell_grid)
     for i, res in enumerate(resolutions):
         ws = min(window_size, min(res))
-        shift = 0 if ws >= min(res) else window_size // 2
+        # The pretrain Swin clamps shift to 0 once the window covers the
+        # whole map (reference swin_block.py:246-248). The mmseg-style
+        # ECDDP Swin does NOT (swin_ecddp_block.py:187-243): its stage-4
+        # shifted blocks roll the lone 7x7 window and mask it into 2x2
+        # quadrant groups — which the group-id formulation reproduces
+        # exactly when the shift is left unclamped.
+        if clamp_shift:
+            shift = 0 if ws >= min(res) else window_size // 2
+        else:
+            shift = window_size // 2
         n = coords.shape[0]
         if n > 2 * ws ** 2:
             # bucket the padded group count to avoid recompiles
@@ -308,8 +319,13 @@ def build_swin_plans(
     window_size: int = 7,
     cell_grid: int = 7,
     group_bucket: int = 8,
+    clamp_shift: bool = True,
 ) -> tuple[StagePlan, ...]:
-    """Plans for all stages. mask_cells: (cell_grid**2,) bool or None."""
+    """Plans for all stages. mask_cells: (cell_grid**2,) bool or None.
+
+    clamp_shift=False selects the mmseg/ECDDP shifted-window semantics
+    (stage-4 quadrant masking, see _cached_plans).
+    """
     resolutions = tuple(
         (input_resolution[0] >> i, input_resolution[1] >> i)
         for i in range(num_stages)
@@ -320,5 +336,6 @@ def build_swin_plans(
         else None
     )
     return _cached_plans(
-        mask_key, resolutions, window_size, cell_grid, group_bucket
+        mask_key, resolutions, window_size, cell_grid, group_bucket,
+        clamp_shift,
     )

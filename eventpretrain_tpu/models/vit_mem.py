@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from eventpretrain_tpu.models.layers import Mlp, DropPath, PatchEmbed
+from eventpretrain_tpu.ops.reshape import emb2patch_frame
 
 
 def relative_position_index(window_size: tuple[int, int]) -> np.ndarray:
@@ -163,6 +164,7 @@ class ViTMEM(nn.Module):
     depth: int = 12
     num_heads: int = 12
     mlp_ratio: float = 4.0
+    out_indices: Sequence[int] = (3, 5, 7, 11)
     num_bins: int = 3
     init_values: float = 0.1
     drop_rate: float = 0.0
@@ -212,8 +214,10 @@ class ViTMEM(nn.Module):
         self, x: jax.Array, deterministic: bool = True,
         return_attn: bool = False, return_pyramid: bool = False,
     ):
-        """Returns (emb, out_embs, attn): emb = mean-pooled patch tokens
-        (reference vit_mem.py:62-90)."""
+        """Returns (emb, out_embs, attn): emb = norm(mean-pooled patch
+        tokens) — pool BEFORE norm, matching reference vit_mem.py:83-84;
+        ``out_embs`` collects the ``out_indices`` feature maps for dense
+        tasks (reference vit_mem.py:80-81)."""
         x = self.patch_embed(x)
         x = x.reshape(x.shape[0], -1, x.shape[-1])
         cls = jnp.broadcast_to(
@@ -222,15 +226,17 @@ class ViTMEM(nn.Module):
         x = jnp.concatenate([cls, x], axis=1)
         bias = self.rel_pos_bias()
         attn = None
+        out_embs = []
         last = self.depth - 1
         for i, blk in enumerate(self.vit_block):
             if i == last and return_attn:
                 x, attn = blk(x, bias, deterministic, return_attn=True)
             else:
                 x = blk(x, bias, deterministic)
-        x = self.norm_layer(x)
-        emb = x[:, 1:].mean(axis=1)
-        return emb, [], attn
+            if return_pyramid and i in self.out_indices:
+                out_embs.append(emb2patch_frame(x[:, 1:, :]))
+        emb = self.norm_layer(x[:, 1:].mean(axis=1))
+        return emb, out_embs, attn
 
     def __call__(self, x, deterministic: bool = True):
         return self.encode_dense(x, deterministic)

@@ -1,0 +1,102 @@
+"""Test-only loader for the reference PyTorch modules at /root/reference.
+
+The parity suite (test_torch_parity.py) instantiates the ACTUAL reference
+torch modules on CPU at tiny configs, exports their state dicts through
+ckpt/torch_import.py, and asserts forward-output agreement with the flax
+models. The reference imports `timm` (not installed here), so a minimal
+shim providing the three symbols the model code uses
+(`timm.models.layers.{DropPath, to_2tuple, trunc_normal_}`) is installed
+first; DropPath is identity because all parity runs are eval-mode /
+drop_path=0.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+REF_ROOT = "/root/reference"
+
+
+def install_timm_shim():
+    if "timm" in sys.modules:
+        return
+    import torch
+    import torch.nn as tnn
+
+    timm = types.ModuleType("timm")
+    models = types.ModuleType("timm.models")
+    layers = types.ModuleType("timm.models.layers")
+
+    def to_2tuple(x):
+        return tuple(x) if isinstance(x, (tuple, list)) else (x, x)
+
+    def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+        with torch.no_grad():
+            tensor.normal_(mean, std).clamp_(a, b)
+        return tensor
+
+    class DropPath(tnn.Module):
+        def __init__(self, drop_prob=0.0):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):  # eval-mode parity only
+            return x
+
+    layers.DropPath = DropPath
+    layers.to_2tuple = to_2tuple
+    layers.trunc_normal_ = trunc_normal_
+    models.layers = layers
+    timm.models = models
+    sys.modules["timm"] = timm
+    sys.modules["timm.models"] = models
+    sys.modules["timm.models.layers"] = layers
+
+
+def load_reference():
+    """Make `model.*` / `utils.*` of the reference importable."""
+    install_timm_shim()
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+
+
+def ref_args(**overrides):
+    """Minimal stand-in for the reference argparse namespace."""
+    ns = types.SimpleNamespace(
+        phase="finetune_cls",
+        pr_phase="rec",
+        masking_strategy="density",
+        use_feature_fusion=True,
+        sample_mode="bilinear",
+        backbone_type="vit",
+        model_size="small",
+        num_bins=5,
+        num_classes=6,
+        drop_rate=0.0,
+        attn_drop_rate=0.0,
+        drop_path_rate=0.0,
+    )
+    for k, v in overrides.items():
+        setattr(ns, k, v)
+    return ns
+
+
+def sd_numpy(module) -> dict:
+    """state_dict -> {key: np.ndarray} (the shape load_torch_state_dict
+    produces after file round-trip, minus file IO)."""
+    import numpy as np
+
+    return {
+        k: np.asarray(v.detach().cpu().numpy())
+        for k, v in module.state_dict().items()
+    }
+
+
+def nhwc(x_torch):
+    """torch NCHW tensor -> numpy NHWC."""
+    import numpy as np
+
+    return np.ascontiguousarray(
+        x_torch.detach().cpu().numpy().transpose(0, 2, 3, 1)
+    )
