@@ -35,6 +35,8 @@ from eventpretrain_tpu.models.cls_hub import (
     cls_hub_swin_tiny,
     cls_hub_vit_ecdp_small,
     cls_hub_vit_ecdp_base,
+    cls_hub_convvit_ecdp_small,
+    cls_hub_convvit_ecdp_base,
     cls_hub_vit_mem_small,
     cls_hub_vit_mem_base,
     cls_hub_swin_ecddp_tiny,
@@ -71,8 +73,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--train_root", default=None)
     p.add_argument("--val_root", default=None)
     p.add_argument("--num_classes", type=int, default=2)
-    p.add_argument("--backbone", default="vit", choices=["vit", "convvit", "swin", "vit_ecdp", "vit_mem",
-                            "swin_ecddp"])
+    p.add_argument("--backbone", default="vit",
+                   choices=["vit", "convvit", "swin", "vit_ecdp",
+                            "convvit_ecdp", "vit_mem", "swin_ecddp"])
     p.add_argument("--model_size", default="small", choices=["small", "base"])
     p.add_argument("--num_bins", type=int, default=5)
     p.add_argument("--input_size", type=int, default=224)
@@ -205,6 +208,8 @@ def main(args=None):
         ("swin", "base"): cls_hub_swin_tiny,
         ("vit_ecdp", "small"): cls_hub_vit_ecdp_small,
         ("vit_ecdp", "base"): cls_hub_vit_ecdp_base,
+        ("convvit_ecdp", "small"): cls_hub_convvit_ecdp_small,
+        ("convvit_ecdp", "base"): cls_hub_convvit_ecdp_base,
         ("vit_mem", "small"): cls_hub_vit_mem_small,
         ("vit_mem", "base"): cls_hub_vit_mem_base,
         ("swin_ecddp", "small"): cls_hub_swin_ecddp_tiny,
@@ -270,7 +275,7 @@ def main(args=None):
         weight_decay=args.weight_decay,
         betas=(0.9, 0.999),
         layer_decay=args.layer_decay if args.use_layer_decay else 1.0,
-        num_layers=13 if args.backbone == "convvit" else 12,
+        num_layers=13 if args.backbone.startswith("convvit") else 12,
         backbone_type=args.backbone,
         clip_grad=args.clip_grad,
         trainable_mask=trainable_mask,
@@ -296,8 +301,13 @@ def main(args=None):
 
     mesh = None
     if args.data_parallel:
-        from eventpretrain_tpu.parallel import make_mesh, replicate
+        from eventpretrain_tpu.parallel import (
+            make_mesh,
+            maybe_initialize_distributed,
+            replicate,
+        )
 
+        maybe_initialize_distributed()
         mesh = make_mesh()
         ndev = mesh.shape["data"]
         assert args.batch_size % ndev == 0, (
@@ -338,7 +348,12 @@ def main(args=None):
             from eventpretrain_tpu.parallel import ShardedPipeline
 
             val_pipe = ShardedPipeline(val_pipe, mesh)
+        tv = time.time()
         val_metrics = evaluate(eval_step, state, val_pipe)
+        # mean inference time per batch (reference ft_cls_trainer.py:190)
+        val_metrics["infer_ms"] = round(
+            1000 * (time.time() - tv) / max(len(val_pipe), 1), 2
+        )
         for name, src in extra_vals.items():
             vm = evaluate(
                 eval_step, state,
@@ -373,29 +388,29 @@ def main(args=None):
                 int(vb["label"][0]), int(logits[0].argmax()),
             )
             # per-backbone feature/attention panel (reference vis_ft_cls /
-            # _ecdp / _mem / _swin, ft_cls_visualize.py:14-262): vit-family
-            # backbones expose the l1/l2/h taps; ECDP/MEM give attention only
-            try:
-                variables = {"params": state.params["backbone"]}
-                out = hub.backbone.apply(
-                    variables, evg, deterministic=True, return_attn=True,
-                    method=hub.backbone.encode_dense,
-                )
-                if len(out) == 5:
-                    taps = {"emb_l1": out[0][0], "emb_l2": out[1][0],
-                            "emb_h": out[2][0]}
-                    attn = out[4]
-                else:
-                    taps, attn = {}, out[2]
-                save_feature_panel(
-                    f"{args.output_dir}/vis_val",
-                    f"epoch_{epoch:03d}_features.png",
-                    _np.asarray(vb["evg"][0], _np.float32), taps=taps,
-                    attn=None if attn is None else _np.asarray(
-                        attn[0], _np.float32),
-                )
-            except Exception as e:  # swin needs plans; skip quietly
-                print(f"[viz] feature panel skipped: {e}")
+            # _ecdp / _mem / _swin, ft_cls_visualize.py:14-262): 5-tuple
+            # backbones (vit/convvit/swin/swin_ecddp — swin builds its dense
+            # plans internally) expose the l1/l2/h taps; the 3-tuple
+            # ECDP/MEM backbones return a pooled embedding, so their panel
+            # is attention-only (taps={}), matching the reference variants
+            variables = {"params": state.params["backbone"]}
+            out = hub.backbone.apply(
+                variables, evg, deterministic=True, return_attn=True,
+                method=hub.backbone.encode_dense,
+            )
+            if len(out) == 5:
+                taps = {"emb_l1": out[0][0], "emb_l2": out[1][0],
+                        "emb_h": out[2][0]}
+                attn = out[4]
+            else:
+                taps, attn = {}, out[2]
+            save_feature_panel(
+                f"{args.output_dir}/vis_val",
+                f"epoch_{epoch:03d}_features.png",
+                _np.asarray(vb["evg"][0], _np.float32), taps=taps,
+                attn=None if attn is None else _np.asarray(
+                    attn[0], _np.float32),
+            )
         print(f"epoch {epoch}: val acc1 {val_metrics.get('acc1', 0):.2f}")
         save_checkpoint(args.output_dir, state)
         if val_metrics.get("acc1", 0) > best_acc:

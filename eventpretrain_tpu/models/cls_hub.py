@@ -127,6 +127,32 @@ def cls_hub_vit_ecdp_base(num_classes: int, num_bins: int = 2,
     return FtClsHub(backbone=backbone, num_classes=num_classes, dtype=dtype)
 
 
+def cls_hub_convvit_ecdp_small(num_classes: int, num_bins: int = 2,
+                               dtype: Any = jnp.float32, **bk) -> FtClsHub:
+    """ConvViT-ECDP cls head over concat(event, image) tokens
+    (reference ft_cls_hub_model.py:143-177: Linear(2*embed_dim))."""
+    from eventpretrain_tpu.models.convvit_ecdp import (
+        convvit_ecdp_small_patch16,
+    )
+
+    backbone = convvit_ecdp_small_patch16(
+        num_bins=num_bins, dtype=dtype, name="backbone", **bk
+    )
+    return FtClsHub(backbone=backbone, num_classes=num_classes, dtype=dtype)
+
+
+def cls_hub_convvit_ecdp_base(num_classes: int, num_bins: int = 2,
+                              dtype: Any = jnp.float32, **bk) -> FtClsHub:
+    from eventpretrain_tpu.models.convvit_ecdp import (
+        convvit_ecdp_base_patch16,
+    )
+
+    backbone = convvit_ecdp_base_patch16(
+        num_bins=num_bins, dtype=dtype, name="backbone", **bk
+    )
+    return FtClsHub(backbone=backbone, num_classes=num_classes, dtype=dtype)
+
+
 def cls_hub_vit_mem_small(num_classes: int, num_bins: int = 3,
                           dtype: Any = jnp.float32, **bk) -> FtClsHub:
     from eventpretrain_tpu.models.vit_mem import vit_mem_small_patch16

@@ -33,7 +33,12 @@ class FtDenseHub(nn.Module):
             x, deterministic=not train, return_attn=False,
             return_pyramid=True,
         )
-        emb_h, out_embs = out[2], out[3]
+        if len(out) == 3:
+            # ECDP/MEM backbones return (emb, out_embs, attn) — reference
+            # ft_dense_hub_model.py:249-255 forward branch
+            emb_h, out_embs = out[0], out[1]
+        else:
+            emb_h, out_embs = out[2], out[3]
         decode = UPerHead(
             in_channels=self.decode_in_channels,
             channels=self.decode_channels,
@@ -115,6 +120,108 @@ def dense_hub_swin_tiny(num_classes: int, num_bins: int = 5,
     backbone = swin_tiny_window7(
         num_bins=num_bins, with_rec_decoders=False, dtype=dtype,
         name="backbone", **bk,
+    )
+    return FtDenseHub(
+        backbone=backbone, num_classes=num_classes,
+        decode_in_channels=(96, 192, 384, 768), dtype=dtype,
+    )
+
+
+def dense_hub_vit_ecdp_small(num_classes: int, num_bins: int = 2,
+                             dtype: Any = jnp.float32, **bk) -> FtDenseHub:
+    """ViT-ECDP-S: 4x 14^2 token maps at 384 (reference
+    ft_dense_hub_model.py:108-125 + finetune_decode_head_small)."""
+    from eventpretrain_tpu.models.vit_ecdp import vit_ecdp_small_patch16
+
+    backbone = vit_ecdp_small_patch16(num_bins=num_bins, dtype=dtype,
+                                      name="backbone", **bk)
+    return FtDenseHub(
+        backbone=backbone, num_classes=num_classes,
+        decode_in_channels=(384, 384, 384, 384), dtype=dtype,
+    )
+
+
+def dense_hub_vit_ecdp_base(num_classes: int, num_bins: int = 2,
+                            dtype: Any = jnp.float32, **bk) -> FtDenseHub:
+    """Reference ft_dense_hub_model.py:126-142 + finetune_decode_head_base."""
+    from eventpretrain_tpu.models.vit_ecdp import vit_ecdp_base_patch16
+
+    backbone = vit_ecdp_base_patch16(num_bins=num_bins, dtype=dtype,
+                                     name="backbone", **bk)
+    return FtDenseHub(
+        backbone=backbone, num_classes=num_classes,
+        decode_in_channels=(768, 768, 768, 768), dtype=dtype,
+    )
+
+
+def dense_hub_convvit_ecdp_small(num_classes: int, num_bins: int = 2,
+                                 dtype: Any = jnp.float32, **bk) -> FtDenseHub:
+    """ConvViT-ECDP-S (reference ft_dense_hub_model.py:143-160; the
+    reference's own dense forward is an unpack crash — see
+    models/convvit_ecdp.py out_indices note — repaired here with
+    vit_ecdp-style 14^2 token taps)."""
+    from eventpretrain_tpu.models.convvit_ecdp import (
+        convvit_ecdp_small_patch16,
+    )
+
+    backbone = convvit_ecdp_small_patch16(num_bins=num_bins, dtype=dtype,
+                                          name="backbone", **bk)
+    return FtDenseHub(
+        backbone=backbone, num_classes=num_classes,
+        decode_in_channels=(384, 384, 384, 384), dtype=dtype,
+    )
+
+
+def dense_hub_convvit_ecdp_base(num_classes: int, num_bins: int = 2,
+                                dtype: Any = jnp.float32, **bk) -> FtDenseHub:
+    """Reference ft_dense_hub_model.py:161-177."""
+    from eventpretrain_tpu.models.convvit_ecdp import (
+        convvit_ecdp_base_patch16,
+    )
+
+    backbone = convvit_ecdp_base_patch16(num_bins=num_bins, dtype=dtype,
+                                         name="backbone", **bk)
+    return FtDenseHub(
+        backbone=backbone, num_classes=num_classes,
+        decode_in_channels=(768, 768, 768, 768), dtype=dtype,
+    )
+
+
+def dense_hub_vit_mem_small(num_classes: int, num_bins: int = 3,
+                            dtype: Any = jnp.float32, **bk) -> FtDenseHub:
+    """ViT-MEM-S (reference ft_dense_hub_model.py:178-195 +
+    finetune_decode_head_small)."""
+    from eventpretrain_tpu.models.vit_mem import vit_mem_small_patch16
+
+    backbone = vit_mem_small_patch16(num_bins=num_bins, dtype=dtype,
+                                     name="backbone", **bk)
+    return FtDenseHub(
+        backbone=backbone, num_classes=num_classes,
+        decode_in_channels=(384, 384, 384, 384), dtype=dtype,
+    )
+
+
+def dense_hub_vit_mem_base(num_classes: int, num_bins: int = 3,
+                           dtype: Any = jnp.float32, **bk) -> FtDenseHub:
+    """Reference ft_dense_hub_model.py:196-214."""
+    from eventpretrain_tpu.models.vit_mem import vit_mem_base_patch16
+
+    backbone = vit_mem_base_patch16(num_bins=num_bins, dtype=dtype,
+                                    name="backbone", **bk)
+    return FtDenseHub(
+        backbone=backbone, num_classes=num_classes,
+        decode_in_channels=(768, 768, 768, 768), dtype=dtype,
+    )
+
+
+def dense_hub_swin_ecddp_tiny(num_classes: int, num_bins: int = 5,
+                              dtype: Any = jnp.float32, **bk) -> FtDenseHub:
+    """Swin-ECDDP-T pyramid with per-index norms (reference
+    ft_dense_hub_model.py:216-232 + finetune_decode_head_extend_small_swin)."""
+    from eventpretrain_tpu.models.swin_ecddp import swin_ecddp_tiny_window7
+
+    backbone = swin_ecddp_tiny_window7(
+        num_bins=num_bins, dtype=dtype, name="backbone", **bk
     )
     return FtDenseHub(
         backbone=backbone, num_classes=num_classes,
