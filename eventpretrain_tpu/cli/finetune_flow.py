@@ -20,7 +20,7 @@ from eventpretrain_tpu.data.dense_pipeline import (
     DensePipeline,
     SyntheticDenseSource,
 )
-from eventpretrain_tpu.cli.finetune_semseg import HUBS
+from eventpretrain_tpu.cli.finetune_semseg import BACKBONES, HUBS
 from eventpretrain_tpu.train import (
     build_optimizer,
     cosine_warmup_schedule,
@@ -44,8 +44,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--val_splits", nargs="*",
                    default=["indoor_flying1", "indoor_flying2",
                             "indoor_flying3"])
-    p.add_argument("--backbone", default="convvit",
-                   choices=["vit", "convvit", "swin"])
+    p.add_argument("--backbone", default="convvit", choices=BACKBONES)
     p.add_argument("--model_size", default="small", choices=["small", "base"])
     p.add_argument("--num_bins", type=int, default=5)
     p.add_argument("--input_size", type=int, default=224)
@@ -78,6 +77,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--visualize", action="store_true",
                    help="save events/mask/gt/pred/aux flow panels per epoch "
                         "(reference ft_flow_visualize.py)")
+    p.add_argument("--forward_only", action="store_true",
+                   help="dry-run: run steps without updating state "
+                        "(reference --backward false)")
+    p.add_argument("--profile_dir", default=None,
+                   help="write a jax.profiler trace of the first epoch here")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard batches over all devices on a Mesh(('data',)) "
+                        "(reference DDP-wraps this main, "
+                        "main_finetune_flow.py:312)")
     return p
 
 
@@ -104,8 +112,17 @@ def make_sources(args):
 
 def main(args=None):
     args = build_parser().parse_args(args)
+    if args.data_parallel:
+        from eventpretrain_tpu.parallel import maybe_initialize_distributed
+
+        maybe_initialize_distributed()
     np.random.seed(args.seed)
     train_src, val_srcs, sensor_hw = make_sources(args)
+    if args.data_parallel and jax.process_count() > 1:
+        from eventpretrain_tpu.parallel import HostShardedSource
+
+        train_src = HostShardedSource(train_src)
+        val_srcs = {k: HostShardedSource(v) for k, v in val_srcs.items()}
 
     cfg = DenseDataConfig(
         task="flow", num_bins=args.num_bins, input_size=args.input_size,
@@ -139,13 +156,23 @@ def main(args=None):
         params, learning_rate=schedule, weight_decay=args.weight_decay,
         betas=(0.9, 0.999),
         layer_decay=args.layer_decay if args.use_layer_decay else 1.0,
-        num_layers=13 if args.backbone == "convvit" else 12,
+        num_layers=13 if args.backbone.startswith("convvit") else 12,
         backbone_type=args.backbone, clip_grad=args.clip_grad,
     )
     state = TrainState.create(
         apply_fn=hub.apply, params=params,
         batch_stats=variables.get("batch_stats", {}), tx=tx,
     )
+    mesh = None
+    if args.data_parallel:
+        from eventpretrain_tpu.parallel import make_mesh, replicate
+
+        mesh = make_mesh()
+        ndev = mesh.shape["data"]
+        assert args.batch_size % ndev == 0, (
+            f"--batch_size must divide the {ndev}-device mesh")
+        state = replicate(mesh, state)
+        print(f"data-parallel over {ndev} devices")
     if args.auto_resume and not args.resume:
         import os as _os
 
@@ -166,34 +193,55 @@ def main(args=None):
     writer = ScalarWriter(
         f"{args.output_dir}/tb" if args.tensorboard else None
     )
+    from eventpretrain_tpu.train.steps import forward_only
+    from eventpretrain_tpu.utils import profiling
+
+    run_step = forward_only(train_step) if args.forward_only else train_step
     best_aee = {k: float("inf") for k in val_srcs}
     key = jax.random.key(args.seed)
     for epoch in range(args.epochs):
         t0 = time.time()
         pipe = DensePipeline(train_src, cfg, args.batch_size, train=True,
                              seed=args.seed + epoch)
-        state, train_metrics = train_one_epoch(
-            step=train_step, state=state, pipeline=pipe,
-            rng_key=jax.random.fold_in(key, epoch), epoch=epoch,
-            print_freq=args.print_freq,
-        )
+        if mesh is not None:
+            from eventpretrain_tpu.parallel import ShardedPipeline
+
+            pipe = ShardedPipeline(pipe, mesh)
+        with profiling.trace(args.profile_dir,
+                             enabled=bool(args.profile_dir) and epoch == 0):
+            state, train_metrics = train_one_epoch(
+                step=run_step, state=state, pipeline=pipe,
+                rng_key=jax.random.fold_in(key, epoch), epoch=epoch,
+                print_freq=args.print_freq,
+            )
         record = {"epoch": epoch,
                   **{f"train_{k}": v for k, v in train_metrics.items()}}
         for split, src in val_srcs.items():
             val_pipe = DensePipeline(src, cfg, args.batch_size, train=False,
                                      seed=args.seed)
+            if mesh is not None:
+                from eventpretrain_tpu.parallel import ShardedPipeline
+
+                val_pipe = ShardedPipeline(val_pipe, mesh)
             epe_sum = out_sum = count = 0.0
+            n_val_batches = 0
+            tv = time.time()
             for batch in val_pipe:
                 m = eval_step(state, batch)
                 epe_sum += float(m["epe_sum"])
                 out_sum += float(m["outlier_sum"])
                 count += float(m["count"])
+                n_val_batches += 1
+            # mean inference time per batch (reference ft_flow_trainer.py:269)
+            infer_ms = 1000 * (time.time() - tv) / max(n_val_batches, 1)
             aee = epe_sum / max(count, 1)
             outlier = 100 * out_sum / max(count, 1)
             record[f"{split}_aee"] = aee
             record[f"{split}_outlier"] = outlier
+            record[f"{split}_infer_ms"] = round(infer_ms, 2)
             print(f"epoch {epoch} [{split}]: AEE {aee:.3f} "
-                  f"outliers {outlier:.2f}%")
+                  f"outliers {outlier:.2f}% "
+                  f"(inference {infer_ms:.1f} ms/batch)")
             if aee < best_aee[split]:
                 best_aee[split] = aee
                 save_checkpoint(args.output_dir, state, name=f"best_{split}")

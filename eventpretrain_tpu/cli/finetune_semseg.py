@@ -28,6 +28,13 @@ from eventpretrain_tpu.models.dense_hub import (
     dense_hub_convvit_small,
     dense_hub_convvit_base,
     dense_hub_swin_tiny,
+    dense_hub_vit_ecdp_small,
+    dense_hub_vit_ecdp_base,
+    dense_hub_convvit_ecdp_small,
+    dense_hub_convvit_ecdp_base,
+    dense_hub_vit_mem_small,
+    dense_hub_vit_mem_base,
+    dense_hub_swin_ecddp_tiny,
 )
 from eventpretrain_tpu.train import (
     build_optimizer,
@@ -54,7 +61,18 @@ HUBS = {
     ("convvit", "base"): dense_hub_convvit_base,
     ("swin", "small"): dense_hub_swin_tiny,
     ("swin", "base"): dense_hub_swin_tiny,
+    ("vit_ecdp", "small"): dense_hub_vit_ecdp_small,
+    ("vit_ecdp", "base"): dense_hub_vit_ecdp_base,
+    ("convvit_ecdp", "small"): dense_hub_convvit_ecdp_small,
+    ("convvit_ecdp", "base"): dense_hub_convvit_ecdp_base,
+    ("vit_mem", "small"): dense_hub_vit_mem_small,
+    ("vit_mem", "base"): dense_hub_vit_mem_base,
+    ("swin_ecddp", "small"): dense_hub_swin_ecddp_tiny,
+    ("swin_ecddp", "base"): dense_hub_swin_ecddp_tiny,
 }
+
+BACKBONES = ["vit", "convvit", "swin", "vit_ecdp", "convvit_ecdp",
+             "vit_mem", "swin_ecddp"]
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -64,8 +82,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_root", default=None)
     p.add_argument("--num_classes", type=int, default=11)
     p.add_argument("--ignore_label", type=int, default=255)
-    p.add_argument("--backbone", default="convvit",
-                   choices=["vit", "convvit", "swin"])
+    p.add_argument("--backbone", default="convvit", choices=BACKBONES)
     p.add_argument("--model_size", default="small", choices=["small", "base"])
     p.add_argument("--num_bins", type=int, default=5)
     p.add_argument("--input_size", type=int, default=224)
@@ -96,6 +113,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--visualize", action="store_true",
                    help="save events/label/pred/aux panels per epoch "
                         "(reference ft_semseg_visualize.py)")
+    p.add_argument("--forward_only", action="store_true",
+                   help="dry-run: run steps without updating state "
+                        "(reference --backward false)")
+    p.add_argument("--profile_dir", default=None,
+                   help="write a jax.profiler trace of the first epoch here")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard batches over all devices on a Mesh(('data',)) "
+                        "(reference DDP-wraps this main, "
+                        "main_finetune_semseg.py:311)")
     return p
 
 
@@ -126,8 +152,17 @@ def make_sources(args):
 
 def main(args=None):
     args = build_parser().parse_args(args)
+    if args.data_parallel:
+        from eventpretrain_tpu.parallel import maybe_initialize_distributed
+
+        maybe_initialize_distributed()
     np.random.seed(args.seed)
     train_src, val_src, sensor_hw = make_sources(args)
+    if args.data_parallel and jax.process_count() > 1:
+        from eventpretrain_tpu.parallel import HostShardedSource
+
+        train_src = HostShardedSource(train_src)
+        val_src = HostShardedSource(val_src)
 
     cfg = DenseDataConfig(
         task="semseg", num_bins=args.num_bins, input_size=args.input_size,
@@ -161,13 +196,23 @@ def main(args=None):
         params, learning_rate=schedule, weight_decay=args.weight_decay,
         betas=(0.9, 0.999),
         layer_decay=args.layer_decay if args.use_layer_decay else 1.0,
-        num_layers=13 if args.backbone == "convvit" else 12,
+        num_layers=13 if args.backbone.startswith("convvit") else 12,
         backbone_type=args.backbone, clip_grad=args.clip_grad,
     )
     state = TrainState.create(
         apply_fn=hub.apply, params=params,
         batch_stats=variables.get("batch_stats", {}), tx=tx,
     )
+    mesh = None
+    if args.data_parallel:
+        from eventpretrain_tpu.parallel import make_mesh, replicate
+
+        mesh = make_mesh()
+        ndev = mesh.shape["data"]
+        assert args.batch_size % ndev == 0, (
+            f"--batch_size must divide the {ndev}-device mesh")
+        state = replicate(mesh, state)
+        print(f"data-parallel over {ndev} devices")
     if args.auto_resume and not args.resume:
         import os as _os
 
@@ -191,25 +236,46 @@ def main(args=None):
     writer = ScalarWriter(
         f"{args.output_dir}/tb" if args.tensorboard else None
     )
+    from eventpretrain_tpu.train.steps import forward_only
+    from eventpretrain_tpu.utils import profiling
+
+    run_step = forward_only(train_step) if args.forward_only else train_step
     best_miou = 0.0
     key = jax.random.key(args.seed)
     for epoch in range(args.epochs):
         t0 = time.time()
         pipe = DensePipeline(train_src, cfg, args.batch_size, train=True,
                              seed=args.seed + epoch)
-        state, train_metrics = train_one_epoch(
-            step=train_step, state=state, pipeline=pipe,
-            rng_key=jax.random.fold_in(key, epoch), epoch=epoch,
-            print_freq=args.print_freq,
-        )
+        if mesh is not None:
+            from eventpretrain_tpu.parallel import ShardedPipeline
+
+            pipe = ShardedPipeline(pipe, mesh)
+        with profiling.trace(args.profile_dir,
+                             enabled=bool(args.profile_dir) and epoch == 0):
+            state, train_metrics = train_one_epoch(
+                step=run_step, state=state, pipeline=pipe,
+                rng_key=jax.random.fold_in(key, epoch), epoch=epoch,
+                print_freq=args.print_freq,
+            )
         val_pipe = DensePipeline(val_src, cfg, args.batch_size, train=False,
                                  seed=args.seed)
+        if mesh is not None:
+            from eventpretrain_tpu.parallel import ShardedPipeline
+
+            val_pipe = ShardedPipeline(val_pipe, mesh)
         conf = 0
+        n_val_batches = 0
+        tv = time.time()
         for batch in val_pipe:
             conf = conf + eval_step(state, batch)
+            n_val_batches += 1
+        conf = jax.block_until_ready(conf)
+        # mean inference time per batch (reference ft_semseg_trainer.py:269)
+        infer_ms = 1000 * (time.time() - tv) / max(n_val_batches, 1)
         miou = float(miou_from_confusion(conf))
         macc = float(macc_from_confusion(conf))
-        print(f"epoch {epoch}: mIoU {miou:.2f} mAcc {macc:.2f}")
+        print(f"epoch {epoch}: mIoU {miou:.2f} mAcc {macc:.2f} "
+              f"(inference {infer_ms:.1f} ms/batch)")
         if args.visualize:
             import numpy as _np
 
@@ -236,6 +302,7 @@ def main(args=None):
         writer.write({**train_metrics, "miou": miou, "macc": macc}, epoch)
         append_log_line(args.output_dir, {
             "epoch": epoch, "miou": miou, "macc": macc,
+            "val_infer_ms": round(infer_ms, 2),
             **{f"train_{k}": v for k, v in train_metrics.items()},
             "epoch_time_s": round(time.time() - t0, 2),
         })

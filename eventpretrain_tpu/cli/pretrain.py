@@ -39,7 +39,7 @@ from eventpretrain_tpu.models.pretrain_hub import (
     pretrain_hub_convvit_base,
     pretrain_hub_swin,
 )
-from eventpretrain_tpu.objectives import init_queue
+from eventpretrain_tpu.objectives import init_local_queue, init_queue
 from eventpretrain_tpu.train import (
     build_optimizer,
     cosine_warmup_schedule,
@@ -93,6 +93,13 @@ def build_parser() -> argparse.ArgumentParser:
                    action="store_false")
     p.add_argument("--use_queue", action="store_true")
     p.add_argument("--queue_length", type=int, default=65536)
+    p.add_argument("--queue_scope", default="auto",
+                   choices=["auto", "global", "local"],
+                   help="queue negatives scope under --data_parallel: "
+                        "'local' = reference DDP parity (one full-length "
+                        "queue per device, fed only local keys, "
+                        "pr_hub_model.py:166); 'global' = one shared queue "
+                        "fed by the global batch; auto = local under DP")
     p.add_argument("--temperature", type=float, default=0.07)
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--epochs", type=int, default=400)
@@ -259,6 +266,14 @@ def main(args=None):
         )
         params.update(v["params"])
     if args.pr_phase in ("adj", "con", "rec+con"):
+        # token-level InfoNCE aligns event patch tokens 1:1 with CLIP
+        # ViT-B/16's 14x14 token grid (reference pr_hub_model.py forward_con),
+        # so the event view must share that grid
+        assert num_patches == 196, (
+            f"pr_phase={args.pr_phase} pairs event tokens with CLIP's 196 "
+            f"patch tokens; --input_size must be 224 (got {args.input_size} "
+            f"-> {num_patches} patches)"
+        )
         clip0 = jnp.zeros((1, 197, 512))
         import functools
 
@@ -309,13 +324,43 @@ def main(args=None):
         betas=(0.9, 0.95), num_layers=12, trainable_mask=trainable_mask,
         accum_steps=args.accum_iter,
     )
+    mesh = None
+    if args.data_parallel:
+        from eventpretrain_tpu.parallel import (
+            make_mesh,
+            maybe_initialize_distributed,
+        )
+
+        maybe_initialize_distributed()
+        mesh = make_mesh()
+        assert args.batch_size % mesh.shape["data"] == 0
+
+    # queue scope: 'local' = reference DDP parity (one full-length queue per
+    # device, fed only local keys — pr_hub_model.py:166); 'global' = one
+    # shared queue fed by the global batch (covers fewer steps of history
+    # but every device sees identical negatives). auto = local under DP.
+    queue_scope = args.queue_scope
+    if queue_scope == "auto":
+        queue_scope = "local" if mesh is not None else "global"
     queue = None
     if args.use_queue and args.pr_phase in ("adj", "con", "rec+con"):
-        assert args.queue_length % (args.batch_size * args.accum_iter) == 0
-        queue = init_queue(
-            jax.random.key(args.seed + 1), hub.embed_dim, num_patches,
-            args.queue_length,
-        )
+        if queue_scope == "local" and mesh is not None:
+            ndev = mesh.shape["data"]
+            local_batch = args.batch_size // ndev
+            assert args.queue_length % (local_batch * args.accum_iter) == 0
+            queue = init_local_queue(
+                jax.random.key(args.seed + 1), ndev, hub.embed_dim,
+                num_patches, args.queue_length,
+            )
+        else:
+            queue_scope = "global"
+            assert args.queue_length % (
+                args.batch_size * args.accum_iter
+            ) == 0
+            queue = init_queue(
+                jax.random.key(args.seed + 1), hub.embed_dim, num_patches,
+                args.queue_length,
+            )
     state = TrainState.create(
         apply_fn=hub.apply, params=params, batch_stats=batch_stats,
         tx=tx, queue=queue,
@@ -350,7 +395,8 @@ def main(args=None):
             step = make_rec_step(hub, **common)
     elif args.pr_phase in ("adj", "con"):
         step = make_con_step(
-            hub, use_queue=args.use_queue, temperature=args.temperature
+            hub, use_queue=args.use_queue, temperature=args.temperature,
+            queue_mode=queue_scope, mesh=mesh,
         )
     else:
         if args.backbone == "swin":
@@ -361,21 +407,31 @@ def main(args=None):
                 input_resolution=args.input_size // 4,
                 plan_seed=args.seed,
                 use_queue=args.use_queue, temperature=args.temperature,
+                queue_mode=queue_scope, mesh=mesh,
             )
         else:
             step = make_rec_and_con_step(
                 hub, use_queue=args.use_queue, temperature=args.temperature,
+                queue_mode=queue_scope, mesh=mesh,
                 **common,
             )
 
-    mesh = None
-    if args.data_parallel:
-        from eventpretrain_tpu.parallel import make_mesh, replicate
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-        mesh = make_mesh()
-        assert args.batch_size % mesh.shape["data"] == 0
+        from eventpretrain_tpu.parallel import replicate
+
+        local_queue = state.queue if queue_scope == "local" else None
         state = replicate(mesh, state)
-        print(f"data-parallel over {mesh.shape['data']} devices")
+        if local_queue is not None:
+            # the per-device queue bank shards over its leading device axis
+            # (init_local_queue), never replicates
+            shard = NamedSharding(mesh, P("data"))
+            state = state.replace(queue=jax.tree.map(
+                lambda x: jax.device_put(x, shard), local_queue
+            ))
+        print(f"data-parallel over {mesh.shape['data']} devices, "
+              f"queue scope: {queue_scope if args.use_queue else 'n/a'}")
 
     writer = ScalarWriter(
         f"{args.output_dir}/tb" if args.tensorboard else None
@@ -432,7 +488,7 @@ def main(args=None):
                 (vb["evg"].shape[0], num_patches),
             )
             ids_keep, msk, ids_restore = make_mask_from_noise(noise, len_keep)
-            pred, *_ = hub.apply(
+            pred, emb_l1, emb_l2, emb_lh = hub.apply(
                 {"params": state.params}, vb["evg"], ids_keep, ids_restore,
                 mask=msk, method=hub.forward_rec,
             )
@@ -442,6 +498,15 @@ def main(args=None):
                 _np.asarray(vb["evg"][0], _np.float32),
                 _np.asarray(vb["frame"][0], _np.float32),
                 _np.asarray(pred_frame[0], _np.float32),
+                mask=_np.asarray(msk[0], _np.float32),
+                patch_size=patch_size,
+                taps={
+                    "emb_l1": _np.asarray(emb_l1[0], _np.float32),
+                    "emb_l2": _np.asarray(emb_l2[0], _np.float32),
+                    "emb_l_h": _np.asarray(emb_lh[0], _np.float32),
+                },
+                ids_restore=_np.asarray(ids_restore[0]),
+                title=f"epoch {epoch + 1}",
             )
         elif args.visualize and args.pr_phase in ("adj", "con"):
             # contrastive panel (reference vis_pr_con, pr_visualize.py:320)

@@ -82,6 +82,65 @@ def token_infonce_queue(
     return loss, QueueState(buffer=new_buf, ptr=new_ptr)
 
 
+def init_local_queue(
+    key: jax.Array, num_devices: int, embed_dim: int, num_patches: int,
+    queue_length: int,
+) -> QueueState:
+    """Per-device queue bank for local-enqueue parity mode: buffer
+    (D, C, L, K) sharded over the data axis, one independent ring buffer
+    per device (each initialized differently, like per-rank init)."""
+    keys = jax.random.split(key, num_devices)
+    q = jax.vmap(
+        lambda k: init_queue(k, embed_dim, num_patches, queue_length).buffer
+    )(keys)
+    return QueueState(
+        buffer=q, ptr=jnp.zeros((num_devices,), jnp.int32)
+    )
+
+
+def token_infonce_queue_local(
+    emb_h: jax.Array,
+    clip_emb: jax.Array,
+    queue: QueueState,
+    mesh,
+    temperature: float = 0.07,
+    axis: str = "data",
+) -> tuple[jax.Array, QueueState]:
+    """Queue InfoNCE with REFERENCE DDP semantics: each device keeps its own
+    full-length queue and enqueues only its local keys.
+
+    The reference enqueues only the local batch in queue mode
+    (pr_hub_model.py:166: ``self._dequeue_and_enqueue(k)`` without
+    all-gather), so under N-way DP each rank's queue spans N× more steps of
+    history than a single shared queue fed by the global batch. This
+    shard_map variant reproduces that: q/k arrive sharded on ``axis``;
+    ``queue.buffer`` is a (D, C, L, K) bank sharded on its leading device
+    axis (init_local_queue); the per-shard loss is pmean-reduced, exactly
+    the DDP-averaged gradient.
+
+    With identical buffer content on every device this equals
+    ``token_infonce_queue`` on the global batch (tested); the two modes
+    diverge only in which keys the negatives age over.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def shard_fn(q_s, k_s, buf_s, ptr_s):
+        loss, new_q = token_infonce_queue(
+            q_s, k_s, QueueState(buffer=buf_s[0], ptr=ptr_s[0]),
+            temperature,
+        )
+        loss = jax.lax.pmean(loss, axis)
+        return loss, new_q.buffer[None], new_q.ptr[None]
+
+    loss, new_buf, new_ptr = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P(axis), P(axis)),
+    )(emb_h, clip_emb, queue.buffer, queue.ptr)
+    return loss, QueueState(buffer=new_buf, ptr=new_ptr)
+
+
 def global_token_infonce(
     emb_h: jax.Array,
     clip_emb: jax.Array,

@@ -1,4 +1,5 @@
 from eventpretrain_tpu.parallel.mesh import (
+    maybe_initialize_distributed,
     make_mesh,
     shard_batch,
     replicate,

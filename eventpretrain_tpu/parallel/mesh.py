@@ -27,6 +27,40 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_initialize_distributed(verbose: bool = True) -> bool:
+    """Activate the multi-host runtime when the standard env vars are set.
+
+    The TPU-native replacement for the reference's init_process_group /
+    MASTER_ADDR plumbing (utils/misc.py:239-271): when
+    ``JAX_COORDINATOR_ADDRESS`` (+ ``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID``,
+    or a cluster environment jax auto-detects) is present, call
+    ``jax.distributed.initialize()`` once so ``jax.devices()`` spans every
+    host's chips and ``make_mesh()`` builds the global mesh. Each host then
+    feeds its slice of the batch via ``HostShardedSource``. No-op (returns
+    False) on single-host runs. Call before any other jax API touches the
+    backend.
+    """
+    import os
+
+    if jax.process_count() > 1:
+        return True  # already initialized
+    addr = (
+        os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("COORDINATOR_ADDRESS")
+    )
+    if not addr:
+        return False
+    jax.distributed.initialize()
+    if verbose:
+        print(
+            f"[mesh] jax.distributed initialized: process "
+            f"{jax.process_index()}/{jax.process_count()}, "
+            f"{jax.local_device_count()} local / "
+            f"{jax.device_count()} global devices"
+        )
+    return True
+
+
 def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None, axis: str = "data"
 ) -> Mesh:

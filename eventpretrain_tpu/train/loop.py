@@ -68,13 +68,27 @@ def evaluate(
 ) -> dict:
     logger = MetricLogger()
     pending: list[dict] = []
+    warned = [False]
 
     def flush():
         for m in pending:
             vals = {k: float(v) for k, v in m.items()}
             # steps report '_n' = true (unpadded) sample count so wrapped
             # tail-batch pads don't skew the global averages
-            n = int(vals.pop("_n", 1)) or 1
+            n = vals.pop("_n", None)
+            if n is None:
+                # raw-sum steps (keys like epe_sum/count) are reduced by the
+                # caller and don't need weights; a per-sample-mean step
+                # without '_n' would silently weight tail-batch pads in
+                if not warned[0] and not all(
+                    k.endswith("_sum") or k == "count" for k in vals
+                ):
+                    print("[evaluate] WARNING: eval step metrics lack '_n' "
+                          "(unpadded sample count); padded tail batches will "
+                          f"skew averages. keys={sorted(vals)}")
+                    warned[0] = True
+                n = 1
+            n = int(n) or 1
             for k, v in vals.items():
                 logger.meters[k].update(v, n=n)
         pending.clear()

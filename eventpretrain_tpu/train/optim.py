@@ -76,7 +76,12 @@ def vit_layer_id(
         return 0
     if sub.startswith("vit_block_"):
         block_id = int(sub.rsplit("_", 1)[1])
-        if backbone_type == "convvit":
+        # convvit-family backbones (incl. convvit_ecdp) place the two conv
+        # stages at layers 1-2, so vit blocks start at 3 (reference
+        # lr_decay.py:98-100; the reference has no convvit_ecdp branch at
+        # all — get_layer_id_for_vit returns None there — so we extend the
+        # convvit rule rather than replicate the crash)
+        if backbone_type.startswith("convvit"):
             return block_id + 3
         return block_id + 1
     if sub.startswith("conv_block1"):

@@ -18,11 +18,28 @@ import jax.numpy as jnp
 from eventpretrain_tpu.objectives import (
     reconstruct_loss,
     token_infonce_queue,
+    token_infonce_queue_local,
     global_token_infonce,
 )
 from eventpretrain_tpu.ops.masking import masking_noise, make_mask_from_noise
 from eventpretrain_tpu.train.optim import global_grad_norm
 from eventpretrain_tpu.train.state import TrainState
+
+
+def _queue_loss(q, k, queue, temperature, queue_mode, mesh):
+    """Dispatch queue InfoNCE by scope.
+
+    'global' enqueues the global batch into one shared queue (global-view
+    jit default); 'local' reproduces the reference's DDP semantics — one
+    full-length queue per device fed only local keys
+    (pr_hub_model.py:166) — via the shard_map variant (requires a mesh and
+    an init_local_queue state). See PARITY.md "Queue scope".
+    """
+    if queue_mode == "local":
+        assert mesh is not None, "queue_mode='local' needs mesh="
+        return token_infonce_queue_local(q, k, queue, mesh, temperature)
+    return token_infonce_queue(q, k, queue, temperature)
+
 
 
 def make_rec_step(
@@ -83,6 +100,8 @@ def make_con_step(
     *,
     use_queue: bool = False,
     temperature: float = 0.07,
+    queue_mode: str = "global",
+    mesh=None,
 ) -> Callable:
     """Stage-2/3 contrastive step.
 
@@ -105,8 +124,8 @@ def make_con_step(
             mutable=["batch_stats"],
         )
         if use_queue:
-            loss, new_queue = token_infonce_queue(
-                q, k, state.queue, temperature
+            loss, new_queue = _queue_loss(
+                q, k, state.queue, temperature, queue_mode, mesh
             )
         else:
             loss = global_token_infonce(q, k, temperature)
@@ -137,6 +156,8 @@ def make_rec_and_con_step(
     norm_pix_loss: bool = True,
     use_queue: bool = False,
     temperature: float = 0.07,
+    queue_mode: str = "global",
+    mesh=None,
 ) -> Callable:
     """Combined rec+con step (reference pr_rec_and_con_one_epoch,
     pr_trainer.py:225-304: two forwards, summed losses)."""
@@ -173,7 +194,9 @@ def make_rec_and_con_step(
             mutable=["batch_stats"],
         )
         if use_queue:
-            con, new_queue = token_infonce_queue(q, k, state.queue, temperature)
+            con, new_queue = _queue_loss(
+                q, k, state.queue, temperature, queue_mode, mesh
+            )
         else:
             con = global_token_infonce(q, k, temperature)
             new_queue = state.queue
@@ -281,6 +304,101 @@ def make_cls_eval_step(hub, preprocess_fn: Callable | None = None) -> Callable:
     return step
 
 
+# Domain tags decorrelate the two swin mask schedules from each other and
+# from data pipelines seeded with the same args.seed.
+_SWIN_REC_TAG = 0x5717A5
+_SWIN_REC_CON_TAG = 0x5717C0
+
+
+class _HostCellMasker:
+    """Per-step shared swin cell mask + grouping plans, computed on host.
+
+    The cell mask is host-side planning input (models/swin_plan.py), so its
+    randomness lives on the host: deriving it from the step's jax key would
+    force a device->host value fetch every step, draining the async dispatch
+    queue so planning ran serially instead of overlapping device compute.
+    NOTE the step's ``rng`` argument therefore does NOT drive the cell mask —
+    only dropout etc.; the mask schedule is keyed by
+    (plan_seed, domain tag, global step).
+
+    Step tracking: callers may pass the loop's step index explicitly
+    (authoritative). Otherwise the host counter seeds itself from
+    ``state.step`` and resyncs from it whenever the device value is already
+    materialized (``is_ready()`` — free to read), so out-of-lockstep calls
+    (compile warm-up with discarded state, in-process restore) cannot
+    silently shift the schedule for more than the interval until the next
+    materialized read (e.g. a metrics fetch at print_freq).
+    """
+
+    def __init__(self, plan_seed, domain_tag, num_cells, len_keep, *,
+                 input_resolution, window_size, cell_grid):
+        import numpy as np
+
+        from eventpretrain_tpu.models.swin import plans_to_device
+        from eventpretrain_tpu.models.swin_plan import build_swin_plans
+
+        self._np = np
+        self._plans_to_device = plans_to_device
+        self._build_swin_plans = build_swin_plans
+        self.plan_seed = plan_seed
+        self.domain_tag = domain_tag
+        self.num_cells = num_cells
+        self.len_keep = len_keep
+        self.input_resolution = input_resolution
+        self.window_size = window_size
+        self.cell_grid = cell_grid
+        self._counter = None
+
+    def _resolve_step(self, state, step_index):
+        if step_index is not None:
+            self._counter = int(step_index) + 1
+            return int(step_index)
+        s = state.step
+        if self._counter is None:
+            self._counter = int(s)  # blocking fetch, first call only
+        else:
+            try:
+                ready = (
+                    not hasattr(s, "is_ready")  # concrete host value
+                    or s.is_ready()
+                )
+                if ready:
+                    self._counter = int(s)  # free resync, value on host
+            except Exception:
+                pass
+        step = self._counter
+        self._counter += 1
+        return step
+
+    def __call__(self, state, batch_size, step_index=None):
+        np = self._np
+        step = self._resolve_step(state, step_index)
+        noise = np.random.default_rng(
+            [self.plan_seed, self.domain_tag, step]
+        ).random(self.num_cells)
+        ids_shuffle = np.argsort(noise)
+        ids_restore_np = np.argsort(ids_shuffle)
+        ids_keep_np = ids_shuffle[:self.len_keep]
+        mask_np = np.ones(self.num_cells, np.float32)
+        mask_np[ids_keep_np] = 0.0
+        plans = self._plans_to_device(
+            self._build_swin_plans(
+                mask_np.astype(bool),
+                input_resolution=(self.input_resolution,
+                                  self.input_resolution),
+                window_size=self.window_size,
+                cell_grid=self.cell_grid,
+            )
+        )
+        tile = lambda a: jnp.asarray(np.tile(a[None], (batch_size, 1)))
+        return (
+            plans,
+            tile(ids_keep_np.astype(np.int32)),
+            tile(mask_np),
+            tile(ids_restore_np.astype(np.int32)),
+        )
+
+
 def make_swin_rec_step(
     hub,
     *,
@@ -300,11 +418,6 @@ def make_swin_rec_step(
     static-shape inputs. Plans are bucketed so only a handful of group-count
     variants ever compile.
     """
-    import numpy as np
-
-    from eventpretrain_tpu.models.swin import plans_to_device
-    from eventpretrain_tpu.models.swin_plan import build_swin_plans
-
     num_cells = cell_grid ** 2
     len_keep = int(num_cells * (1 - mask_ratio))
 
@@ -332,46 +445,18 @@ def make_swin_rec_step(
         new_state = state.apply_gradients(grads)
         return new_state, {"loss": loss, "grad_norm": global_grad_norm(grads)}
 
-    # The cell mask is host-side planning input, so its randomness lives on
-    # the host. Deriving it from the jax key (int(jax.random.randint(rng)))
-    # forced a device->host value fetch every step, which both costs a
-    # round-trip and drains the async dispatch queue — planning then ran
-    # serially instead of overlapping with device compute. The per-step
-    # noise is keyed by (plan_seed, domain tag, global step): the domain
-    # tag decorrelates it from data pipelines seeded with the same
-    # args.seed, and keying by the global step makes the mask schedule
-    # resume-consistent (one state.step fetch at the first call only).
-    step_counter = [None]
+    masker = _HostCellMasker(
+        plan_seed, _SWIN_REC_TAG, num_cells, len_keep,
+        input_resolution=input_resolution, window_size=window_size,
+        cell_grid=cell_grid,
+    )
 
-    def step(state: TrainState, batch, rng):
+    def step(state: TrainState, batch, rng, step_index=None):
         batch_size = batch["evg"].shape[0]
-        if step_counter[0] is None:
-            step_counter[0] = int(state.step)
-        noise = np.random.default_rng(
-            [plan_seed, 0x5717A5, step_counter[0]]
-        ).random(num_cells)
-        step_counter[0] += 1
-        ids_shuffle = np.argsort(noise)
-        ids_restore_np = np.argsort(ids_shuffle)
-        ids_keep_np = ids_shuffle[:len_keep]
-        mask_np = np.ones(num_cells, np.float32)
-        mask_np[ids_keep_np] = 0.0
-        plans = plans_to_device(
-            build_swin_plans(
-                mask_np.astype(bool),
-                input_resolution=(input_resolution, input_resolution),
-                window_size=window_size,
-                cell_grid=cell_grid,
-            )
+        plans, ids_keep, mask, ids_restore = masker(
+            state, batch_size, step_index
         )
-        tile = lambda a: jnp.asarray(np.tile(a[None], (batch_size, 1)))
-        return inner(
-            state, batch, plans,
-            tile(ids_keep_np.astype(np.int32)),
-            tile(mask_np),
-            tile(ids_restore_np.astype(np.int32)),
-            rng,
-        )
+        return inner(state, batch, plans, ids_keep, mask, ids_restore, rng)
 
     return step
 
@@ -661,14 +746,11 @@ def make_swin_rec_and_con_step(
     use_queue: bool = False,
     temperature: float = 0.07,
     plan_seed: int = 0,
+    queue_mode: str = "global",
+    mesh=None,
 ) -> Callable:
     """Combined rec+con step for the sparse Swin backbone (reference
     pr_rec_and_con_one_epoch with swin, pr_trainer.py:225-304)."""
-    import numpy as np
-
-    from eventpretrain_tpu.models.swin import plans_to_device
-    from eventpretrain_tpu.models.swin_plan import build_swin_plans
-
     num_cells = cell_grid ** 2
     len_keep = int(num_cells * (1 - mask_ratio))
 
@@ -694,8 +776,8 @@ def make_swin_rec_and_con_step(
                 mutable=["batch_stats"],
             )
             if use_queue:
-                con, new_queue = token_infonce_queue(
-                    q, k, state.queue, temperature
+                con, new_queue = _queue_loss(
+                    q, k, state.queue, temperature, queue_mode, mesh
                 )
             else:
                 con = global_token_infonce(q, k, temperature)
@@ -713,46 +795,18 @@ def make_swin_rec_and_con_step(
             "grad_norm": global_grad_norm(grads),
         }
 
-    # The cell mask is host-side planning input, so its randomness lives on
-    # the host. Deriving it from the jax key (int(jax.random.randint(rng)))
-    # forced a device->host value fetch every step, which both costs a
-    # round-trip and drains the async dispatch queue — planning then ran
-    # serially instead of overlapping with device compute. The per-step
-    # noise is keyed by (plan_seed, domain tag, global step): the domain
-    # tag decorrelates it from data pipelines seeded with the same
-    # args.seed, and keying by the global step makes the mask schedule
-    # resume-consistent (one state.step fetch at the first call only).
-    step_counter = [None]
+    masker = _HostCellMasker(
+        plan_seed, _SWIN_REC_CON_TAG, num_cells, len_keep,
+        input_resolution=input_resolution, window_size=window_size,
+        cell_grid=cell_grid,
+    )
 
-    def step(state: TrainState, batch, rng):
+    def step(state: TrainState, batch, rng, step_index=None):
         batch_size = batch["evg"].shape[0]
-        if step_counter[0] is None:
-            step_counter[0] = int(state.step)
-        noise = np.random.default_rng(
-            [plan_seed, 0x5717A5, step_counter[0]]
-        ).random(num_cells)
-        step_counter[0] += 1
-        ids_shuffle = np.argsort(noise)
-        ids_restore_np = np.argsort(ids_shuffle)
-        ids_keep_np = ids_shuffle[:len_keep]
-        mask_np = np.ones(num_cells, np.float32)
-        mask_np[ids_keep_np] = 0.0
-        plans = plans_to_device(
-            build_swin_plans(
-                mask_np.astype(bool),
-                input_resolution=(input_resolution, input_resolution),
-                window_size=window_size,
-                cell_grid=cell_grid,
-            )
+        plans, ids_keep, mask, ids_restore = masker(
+            state, batch_size, step_index
         )
-        tile = lambda a: jnp.asarray(np.tile(a[None], (batch_size, 1)))
-        return inner(
-            state, batch, plans,
-            tile(ids_keep_np.astype(np.int32)),
-            tile(mask_np),
-            tile(ids_restore_np.astype(np.int32)),
-            rng,
-        )
+        return inner(state, batch, plans, ids_keep, mask, ids_restore, rng)
 
     return step
 
@@ -764,10 +818,16 @@ def forward_only(step: Callable) -> Callable:
     (main_pretrain.py:110-111, pr_trainer.py:51-56): forward-only dry runs
     for smoke-testing a config. Gradients still trace (the step is reused
     unchanged); only the returned state is the input state.
+
+    Train steps jit with ``donate_argnums=(0,)``, so the wrapped step is fed
+    a scratch copy: donating the caller's state and then returning it would
+    hand back deleted buffers, and the next iteration dies on the TPU
+    backend (CPU ignores donation, which is why only real-chip runs see it).
     """
 
     def wrapped(state: TrainState, batch, rng):
-        _, metrics = step(state, batch, rng)
+        scratch = jax.tree.map(jnp.copy, state)
+        _, metrics = step(scratch, batch, rng)
         return state, metrics
 
     return wrapped
