@@ -1,15 +1,26 @@
 """Headline benchmark: stage-1 pretrain throughput, ViT-B, one chip.
 
-Prints ONE JSON line:
+Prints ONE JSON line to stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+then (unless EVENTPRETRAIN_BENCH_SUITE=0) runs the per-phase step suite
+(benchmarks/bench_all_steps.py: con, rec+con, cls, semseg, flow, swin_rec,
+ecdp) plus the MXU event-rasterizer and writes every number to
+``bench_suite.json`` so round-over-round regressions in any phase are
+machine-checkable, not prose (suite progress goes to stderr).
 
 The reference repo publishes no numbers (SURVEY.md §6); BASELINE.md sets the
 bar as the de-facto PyTorch MAE-style ViT-B pretrain throughput of the
 reference's stack (timm-era MAE ViT-B @224, bs64-per-GPU, AMP) on one
-A100-80GB: ~250 samples/s/GPU. vs_baseline = measured samples/s/chip / 250.
+A100-80GB: ~250 samples/s/GPU (provenance pinned in BASELINE.md "Measured
+baselines": the widely reproduced MAE-ViT-B figure, not a same-machine
+measurement — the reference itself cannot run here without CUDA).
+vs_baseline = measured samples/s/chip / 250.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -17,6 +28,39 @@ import jax
 import jax.numpy as jnp
 
 REF_SAMPLES_PER_SEC_PER_GPU = 250.0  # see BASELINE.md "Measured baselines"
+
+
+def run_suite(headline: dict) -> None:
+    """Per-phase suite -> bench_suite.json (VERDICT r1 item 6)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from benchmarks import bench_all_steps as bas
+
+    phases = []
+    for name, fn in bas.ALL.items():
+        try:
+            row = fn()
+            phases.append(row)
+        except Exception as e:  # one phase failing must not hide the rest
+            print(f"[suite] {name}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:200]}", file=sys.stderr)
+            phases.append({"phase": name, "error": str(e)[:200]})
+    try:
+        from benchmarks.bench_events import main as events_main
+
+        events = events_main()
+    except Exception as e:
+        print(f"[suite] events: FAILED {e}", file=sys.stderr)
+        events = None
+    out = {
+        "backend": jax.default_backend(),
+        "headline": headline,
+        "phases": phases,
+        "events_rasterizer": events,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_suite.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print("[suite] wrote bench_suite.json", file=sys.stderr)
 
 
 def main():
@@ -69,19 +113,19 @@ def main():
     dt = best
 
     samples_per_sec = batch / dt
-    print(
-        json.dumps(
-            {
-                "metric": "pretrain_vitb_stage1_samples_per_sec_per_chip",
-                "value": round(samples_per_sec, 2),
-                "unit": "samples/s/chip",
-                "vs_baseline": round(
-                    samples_per_sec / REF_SAMPLES_PER_SEC_PER_GPU, 3
-                ),
-            }
-        )
-    )
+    headline = {
+        "metric": "pretrain_vitb_stage1_samples_per_sec_per_chip",
+        "value": round(samples_per_sec, 2),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(
+            samples_per_sec / REF_SAMPLES_PER_SEC_PER_GPU, 3
+        ),
+    }
+    print(json.dumps(headline), flush=True)
+    return headline
 
 
 if __name__ == "__main__":
-    main()
+    h = main()
+    if os.environ.get("EVENTPRETRAIN_BENCH_SUITE", "1") != "0":
+        run_suite(h)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from eventpretrain_tpu.train import TrainState, build_optimizer
 
 
-def _run(name, step, state, batch, bsz, iters=8, windows=3):
+def _run(name, step, state, batch, bsz, iters=8, windows=3, out=sys.stderr):
     key = jax.random.key(0)
     state, m = step(state, batch, key)
     float(jax.tree.leaves(m)[0])
@@ -36,7 +36,12 @@ def _run(name, step, state, batch, bsz, iters=8, windows=3):
         float(jax.tree.leaves(m)[0])
         best = min(best, (time.perf_counter() - t0) / iters)
     print(f"{name:8s} bs{bsz:<4d}: {bsz / best:8.1f} samples/s "
-          f"({best * 1e3:.1f} ms/step)")
+          f"({best * 1e3:.1f} ms/step)", file=out)
+    return {
+        "phase": name, "batch_size": bsz,
+        "samples_per_sec": round(bsz / best, 1),
+        "ms_per_step": round(best * 1e3, 2),
+    }
 
 
 def bench_con(use_queue=False):
@@ -65,7 +70,7 @@ def bench_con(use_queue=False):
         batch_stats=variables.get("batch_stats"), tx=tx, queue=queue,
     )
     step = make_con_step(hub, use_queue=use_queue)
-    _run("con" + ("+q" if use_queue else ""), step, state,
+    return _run("con" + ("+q" if use_queue else ""), step, state,
          {"evg": evg, "clip_emb": clip}, bsz)
 
 
@@ -100,7 +105,7 @@ def bench_rec_con():
     step = make_rec_and_con_step(
         hub, patch_size=16, num_patches=196, mask_ratio=0.75
     )
-    _run("rec+con", step, state,
+    return _run("rec+con", step, state,
          {"evg": evg, "frame": frame, "clip_emb": clip}, bsz)
 
 
@@ -124,7 +129,7 @@ def bench_cls():
         apply_fn=hub.apply, params=variables["params"], tx=tx
     )
     step = make_cls_train_step(hub, smoothing=0.1)
-    _run("cls", step, state, {"evg": evg, "label": label}, bsz)
+    return _run("cls", step, state, {"evg": evg, "label": label}, bsz)
 
 
 def bench_semseg():
@@ -148,7 +153,7 @@ def bench_semseg():
         batch_stats=variables.get("batch_stats"), tx=tx,
     )
     step = make_semseg_train_step(hub, num_classes=11, ignore_index=255)
-    _run("semseg", step, state, {"evg": evg, "label": label}, bsz)
+    return _run("semseg", step, state, {"evg": evg, "label": label}, bsz)
 
 
 def bench_flow():
@@ -173,7 +178,7 @@ def bench_flow():
         batch_stats=variables.get("batch_stats"), tx=tx,
     )
     step = make_flow_train_step(hub)
-    _run("flow", step, state,
+    return _run("flow", step, state,
          {"evg": evg, "flow": flow, "valid": valid}, bsz)
 
 
@@ -215,7 +220,7 @@ def bench_swin_rec():
         apply_fn=hub.apply, params=variables["params"], tx=tx
     )
     step = make_swin_rec_step(hub, mask_ratio=0.5)
-    _run("swin_rec", step, state, {"evg": evg, "frame": frame}, bsz)
+    return _run("swin_rec", step, state, {"evg": evg, "frame": frame}, bsz)
 
 
 def bench_ecdp():
@@ -247,7 +252,7 @@ def bench_ecdp():
     step = make_ecdp_step(
         model, total_epochs=100.0, steps_per_epoch=100
     )
-    _run("ecdp", step, state,
+    return _run("ecdp", step, state,
          {"img_q": img_q, "img_k": img_k, "clip_emb": clip}, bsz)
 
 

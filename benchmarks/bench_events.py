@@ -83,7 +83,8 @@ def main():
         # kernel for grids <= 256^2 (ops/pallas_voxel.py::voxelize_batch_mxu)
         # and to XLA scatter for larger grids (DSEC row below)
         results.append(row)
-        print(json.dumps(row))
+        import sys
+        print(json.dumps(row), file=sys.stderr)
     return results
 
 

@@ -55,30 +55,110 @@ def _save(fig, out_dir: str, name: str) -> str:
     return path
 
 
+def _minmax(a: np.ndarray) -> np.ndarray:
+    a = np.asarray(a, np.float32)
+    lo, hi = a.min(), a.max()
+    return (a - lo) / (hi - lo) if hi > lo else np.zeros_like(a)
+
+def unshuffle_visible(tap: np.ndarray, ids_restore: np.ndarray) -> np.ndarray:
+    """Visible-token tap (K, D) -> full-grid (h, w, D) stage map.
+
+    Reference pr_visualize.py:49-61: min-max normalize the visible tokens,
+    append zero rows for the masked tokens, unshuffle by ids_restore, and
+    fold to the patch grid — masked patches render black.
+    """
+    tap = _minmax(tap)
+    ids = np.asarray(ids_restore, np.int64).reshape(-1)
+    full = np.zeros((ids.shape[0], tap.shape[-1]), np.float32)
+    full[: tap.shape[0]] = tap
+    return _tap_to_hwc(full[ids])
+
+
+def _mask_to_pixels(mask: np.ndarray, patch_size: int,
+                    hw: tuple[int, int]) -> np.ndarray:
+    """(L,) per-patch binary mask (1=masked) -> (H, W) pixel mask
+    (reference pr_visualize.py:113-119 mask upsampling)."""
+    g = int(round(np.asarray(mask).size ** 0.5))
+    m = np.asarray(mask, np.float32).reshape(g, g)
+    m = np.repeat(np.repeat(m, patch_size, 0), patch_size, 1)
+    return m[: hw[0], : hw[1]]
+
+
 def save_reconstruction_panel(
     out_dir: str, name: str, evg, target_frame, pred_frame, mask_frame=None,
+    *, mask=None, patch_size: int = 16, taps=None, ids_restore=None,
+    title: str = "",
 ) -> str:
-    """Event preview | target diff-frame | prediction (| mask).
+    """Reconstruction diagnostic, reference vis_pr_rec parity
+    (pr_visualize.py:15-147).
 
-    Equivalent of reference vis_pr_rec (pr_visualize.py:15-147).
+    Minimal call (events | target | pred) stays available; with
+    ``mask`` ((L,) per-patch, 1=masked), ``taps`` ({name: (K, D) visible
+    tokens or (h, w, D) grids}) and ``ids_restore``, renders the full
+    layout: events previews, one row of 4 channels per unshuffled stage
+    map, and the final target | masked target | pred | masked-composite
+    row (visible pixels from the target, predicted pixels at the masked
+    patches — pr_visualize.py:121-142).
     """
     import matplotlib.pyplot as plt
 
-    panels = [
-        ("events", make_events_preview(np.asarray(evg))),
-        ("target", np.asarray(target_frame)[..., 0]),
-        ("pred", np.asarray(pred_frame)[..., 0]),
-    ]
-    if mask_frame is not None:
-        panels.append(("mask", np.asarray(mask_frame)))
-    fig, axes = plt.subplots(1, len(panels), figsize=(4 * len(panels), 4))
-    for ax, (title, img) in zip(np.atleast_1d(axes), panels):
-        if img.ndim == 2:
-            ax.imshow(img, cmap="gray")
-        else:
-            ax.imshow(img)
-        ax.set_title(title)
-        ax.axis("off")
+    evg = np.asarray(evg)
+    target = np.asarray(target_frame, np.float32)[..., 0]
+    pred = np.asarray(pred_frame, np.float32)[..., 0]
+    taps = dict(taps or {})
+    if mask is None:
+        panels = [
+            ("events", make_events_preview(evg)),
+            ("target", target),
+            ("pred", pred),
+        ]
+        if mask_frame is not None:
+            panels.append(("mask", np.asarray(mask_frame)))
+        fig, axes = plt.subplots(1, len(panels),
+                                 figsize=(4 * len(panels), 4))
+        for ax, (t, img) in zip(np.atleast_1d(axes), panels):
+            ax.imshow(img, cmap="gray" if img.ndim == 2 else None)
+            ax.set_title(t)
+            ax.axis("off")
+        return _save(fig, out_dir, name)
+
+    cols = 4
+    rows = 2 + len(taps)
+    fig, axes = plt.subplots(rows, cols, figsize=(3 * cols, 3 * rows),
+                             squeeze=False)
+    axes[0][0].imshow(make_events_preview(evg), cmap="gray")
+    axes[0][0].set_title("events", fontsize=8)
+    axes[0][1].imshow(make_events_preview_norm(evg), cmap="gray")
+    axes[0][1].set_title("events norm", fontsize=8)
+    for r, (tap_name, tap) in enumerate(taps.items(), start=1):
+        tap = np.asarray(tap, np.float32)
+        grid = (
+            unshuffle_visible(tap, ids_restore)
+            if tap.ndim == 2 and ids_restore is not None
+            and tap.shape[0] < np.asarray(ids_restore).size
+            else _tap_to_hwc(_minmax(tap))
+        )
+        for c in range(min(cols, grid.shape[-1])):
+            axes[r][c].imshow(grid[..., c], cmap="viridis")
+            axes[r][c].set_title(f"{tap_name}_{c + 1}", fontsize=8)
+
+    mask_px = _mask_to_pixels(mask, patch_size, target.shape)
+    target_n, pred_n = _minmax(target), _minmax(pred)
+    composite = target_n * (1 - mask_px) + pred_n * mask_px
+    last = rows - 1
+    for c, (t, img) in enumerate((
+        ("sub frame", target_n),
+        ("masked sub frame", target_n * (1 - mask_px)),
+        ("reconstruct frame", pred_n),
+        ("reconstruct visible sub frame", composite),
+    )):
+        axes[last][c].imshow(img, cmap="gray")
+        axes[last][c].set_title(t, fontsize=8)
+    for row in axes:
+        for ax in row:
+            ax.axis("off")
+    if title:
+        fig.suptitle(title, fontsize=10)
     return _save(fig, out_dir, name)
 
 

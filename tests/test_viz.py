@@ -111,3 +111,100 @@ def test_extended_task_panels(tmp_path):
     assert os.path.exists(save_semseg_panel(
         str(tmp_path), "ss.png", evg, lab, lab, aux_pred=lab,
     ))
+
+
+def test_masked_composite_reconstruction_panel(tmp_path, rng):
+    """Full vis_pr_rec layout (reference pr_visualize.py:39-147): stage-map
+    rows unshuffled from visible tokens and the masked-composite last row."""
+    evg = rng.normal(size=(32, 32, 5)).astype(np.float32)
+    frame = rng.normal(size=(32, 32, 1)).astype(np.float32)
+    pred = rng.normal(size=(32, 32, 1)).astype(np.float32)
+    num_patches, keep = 16, 4
+    ids_shuffle = rng.permutation(num_patches)
+    ids_restore = np.argsort(ids_shuffle)
+    mask = np.ones(num_patches, np.float32)
+    mask[ids_shuffle[:keep]] = 0.0
+    taps = {
+        "emb_l1": rng.normal(size=(keep, 8)).astype(np.float32),
+        "emb_l2": rng.normal(size=(keep, 8)).astype(np.float32),
+        "emb_l_h": rng.normal(size=(keep, 8)).astype(np.float32),
+    }
+    p = save_reconstruction_panel(
+        str(tmp_path), "rec_full.png", evg, frame, pred,
+        mask=mask, patch_size=8, taps=taps, ids_restore=ids_restore,
+        title="epoch 1",
+    )
+    assert os.path.exists(p)
+
+
+def test_unshuffle_visible_places_masked_zeros():
+    from eventpretrain_tpu.viz.panels import unshuffle_visible
+
+    tap = np.array([[2.0], [4.0]], np.float32)        # 2 visible tokens
+    ids_restore = np.array([0, 2, 1, 3])              # vis0->0, vis1->2
+    grid = unshuffle_visible(tap, ids_restore)        # (2, 2, 1)
+    flat = grid.reshape(-1)
+    assert flat[0] == 0.0 and flat[2] == 1.0          # min-max normalized
+    assert flat[1] == 0.0 and flat[3] == 0.0          # masked stay zero
+
+
+def test_feature_panels_all_backbones(tmp_path):
+    """The cls CLI feature panel renders for every backbone family
+    (VERDICT r1 item 7: no silent swin skip)."""
+    import jax
+    import jax.numpy as jnp
+
+    from eventpretrain_tpu.viz import save_feature_panel
+    from eventpretrain_tpu.models.cls_hub import (
+        cls_hub_vit_small,
+        cls_hub_convvit_small,
+        cls_hub_swin_tiny,
+        cls_hub_vit_ecdp_small,
+        cls_hub_convvit_ecdp_small,
+        cls_hub_vit_mem_small,
+        cls_hub_swin_ecddp_tiny,
+    )
+
+    cases = {
+        "vit": (cls_hub_vit_small,
+                dict(input_size=32, patch_size=8, embed_dim=32, depth=2,
+                     num_heads=2), 5),
+        "convvit": (cls_hub_convvit_small,
+                    dict(input_size=32, patch_sizes=(2, 2, 2),
+                         embed_dims=(8, 16, 32), depths=(1, 1, 2),
+                         num_heads=2), 5),
+        "swin": (cls_hub_swin_tiny, dict(input_size=32, window_size=4), 5),
+        "vit_ecdp": (cls_hub_vit_ecdp_small,
+                     dict(input_size=32, patch_size=8, embed_dim=32,
+                          depth=2, num_heads=2), 2),
+        "convvit_ecdp": (cls_hub_convvit_ecdp_small,
+                         dict(input_size=32, patch_sizes=(2, 2, 2),
+                              embed_dims=(8, 16, 32), depths=(1, 1, 2),
+                              num_heads=2), 2),
+        "vit_mem": (cls_hub_vit_mem_small,
+                    dict(input_size=32, patch_size=8, embed_dim=32,
+                         depth=2, num_heads=2), 3),
+        "swin_ecddp": (cls_hub_swin_ecddp_tiny,
+                       dict(input_size=32, window_size=4), 5),
+    }
+    for name, (fac, kw, bins) in cases.items():
+        hub = fac(num_classes=3, num_bins=bins, **kw)
+        x = jnp.ones((1, 32, 32, bins))
+        variables = hub.init(jax.random.key(0), x)
+        out = hub.backbone.apply(
+            {"params": variables["params"]["backbone"]}, x,
+            deterministic=True, return_attn=True,
+            method=hub.backbone.encode_dense,
+        )
+        if len(out) == 5:
+            taps = {"emb_l1": out[0][0], "emb_l2": out[1][0],
+                    "emb_h": out[2][0]}
+            attn = out[4]
+        else:
+            taps, attn = {}, out[2]
+        p = save_feature_panel(
+            str(tmp_path), f"{name}.png", np.ones((32, 32, bins), np.float32),
+            taps={k: np.asarray(v, np.float32) for k, v in taps.items()},
+            attn=None if attn is None else np.asarray(attn[0], np.float32),
+        )
+        assert os.path.exists(p), name
