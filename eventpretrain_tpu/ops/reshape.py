@@ -69,11 +69,14 @@ def resize(x: jax.Array, size: tuple[int, int], mode: str = "bilinear") -> jax.A
 
     Equivalent of reference utils/reshape.py:40-43 (F.interpolate with
     align_corners=None): jax.image.resize uses half-pixel centers, matching
-    torch's align_corners=False for linear/cubic.
+    torch's align_corners=False for linear/cubic. antialias=False because
+    F.interpolate does not antialias when downscaling either (verified by
+    tests/test_torch_parity.py::test_uperhead_fcnhead_parity, where the PPM
+    branch downsamples 6x6 pooled maps back to the top resolution).
     """
     method = _METHODS[mode]
     out_shape = x.shape[:-3] + (size[0], size[1]) + x.shape[-1:]
-    return jax.image.resize(x, out_shape, method=method)
+    return jax.image.resize(x, out_shape, method=method, antialias=False)
 
 
 def resize_flow(
