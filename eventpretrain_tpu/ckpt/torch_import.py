@@ -222,6 +222,7 @@ def import_torch_params(
     *,
     prefix: str = "",
     strict: bool = False,
+    strict_subtrees: tuple = (),
     verbose: bool = True,
 ) -> tuple[Any, list[str], list[str]]:
     """Fill a flax param pytree from a torch state dict.
@@ -230,11 +231,18 @@ def import_torch_params(
     reference's ``load_state_dict(strict=False)`` (main_finetune_cls.py:380),
     params without a torch counterpart keep their init (e.g. a fresh
     classify head).
+
+    ``strict_subtrees`` names top-level param subtrees (e.g. ``backbone``)
+    that MUST be fully covered by the state dict: a missing key under one of
+    them raises instead of silently keeping random init. This is the loud
+    failure mode for the checkpoint-parity goal — fresh heads outside the
+    listed subtrees still load leniently.
     """
     import jax
 
     used = set()
     missing: list[str] = []
+    strict_missing: list[str] = []
 
     def fill(path, leaf):
         names = [getattr(p, "key", str(p)) for p in path]
@@ -261,9 +269,19 @@ def import_torch_params(
                     dtype=leaf.dtype,
                 )
         missing.append(torch_key)
+        if names and names[0] in strict_subtrees:
+            strict_missing.append(torch_key)
         return leaf
 
     new_params = jax.tree_util.tree_map_with_path(fill, params)
+    if strict_missing:
+        raise KeyError(
+            f"{len(strict_missing)} params under strict subtrees "
+            f"{strict_subtrees} have no torch counterpart (e.g. "
+            f"{strict_missing[:4]}). The checkpoint does not cover the "
+            "backbone — wrong dialect/file, or pass --lenient_import to "
+            "keep random init for the unmapped params."
+        )
     unused = [
         k for k in state_dict
         if k not in used and not any(s in k for s in _SKIP_SUBSTRINGS)
@@ -290,7 +308,7 @@ def load_torch_backbone_if_needed(path: str, params: Any) -> Any:
     return params
 
 
-def init_backbone_from(path: str, params):
+def init_backbone_from(path: str, params, *, strict_backbone: bool = True):
     """Initialize params from a prior checkpoint for stage chaining/finetune.
 
     Handles both released torch checkpoints (.pth/.pt/.bin via the importer)
@@ -298,10 +316,21 @@ def init_backbone_from(path: str, params):
     subtrees with identical shapes are copied; everything else (fresh heads)
     keeps its init — the equivalent of the reference's
     ``load_state_dict(strict=False)`` after surgery (main_finetune_cls.py:380).
+
+    Unlike the reference's silent ``strict=False``, a torch file that fails
+    to cover the ``backbone`` subtree raises by default (the checkpoint-
+    parity goal needs every backbone weight imported, not random); pass
+    ``strict_backbone=False`` (CLI: ``--lenient_import``) to restore the
+    reference's lenient behavior.
     """
     if path.endswith((".pth", ".pt", ".bin")):
         sd = load_torch_state_dict(path)
-        new_params, _, _ = import_torch_params(sd, params)
+        subtrees = ()
+        if strict_backbone and isinstance(params, dict):
+            subtrees = tuple(k for k in ("backbone",) if k in params)
+        new_params, _, _ = import_torch_params(
+            sd, params, strict_subtrees=subtrees
+        )
         return new_params
 
     import os

@@ -100,6 +100,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--finetune", default=None,
                    help="checkpoint to initialize the backbone from "
                         "(.pth torch checkpoints are converted on load)")
+    p.add_argument("--lenient_import", action="store_true",
+                   help="allow torch --finetune files that do not cover "
+                        "every backbone param (reference strict=False)")
     p.add_argument("--resume", default=None)
     p.add_argument("--auto_resume", action="store_true",
                    help="resume from the latest checkpoint in output_dir if "
@@ -253,7 +256,10 @@ def main(args=None):
 
     print(f"model params: {count_params(params):.2f}M")
     if args.finetune:
-        params = init_backbone_from(args.finetune, params)
+        params = init_backbone_from(
+            args.finetune, params,
+            strict_backbone=not args.lenient_import,
+        )
 
     steps_per_epoch = max(len(train_src) // args.batch_size, 1)
     eff_batch = args.batch_size * args.accum_iter

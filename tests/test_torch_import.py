@@ -218,3 +218,47 @@ def test_conv_block_forward_parity():
     np.testing.assert_allclose(
         np.asarray(got).transpose(0, 3, 1, 2), want, rtol=2e-4, atol=2e-5
     )
+
+def test_strict_backbone_import(tmp_path):
+    """Torch --finetune files must cover the whole backbone subtree.
+
+    VERDICT r1 item 8: the reference's load_state_dict(strict=False)
+    (main_finetune_cls.py:380) silently leaves unmapped params at random
+    init; for the checkpoint-parity goal init_backbone_from fails loudly
+    on any missing *backbone* key while fresh heads stay lenient.
+    """
+    from eventpretrain_tpu.ckpt.torch_import import init_backbone_from
+
+    torch.manual_seed(0)
+    tmodel = TorchViT()
+    sd = {"backbone." + k: v for k, v in tmodel.state_dict().items()}
+    # drop one backbone weight -> must raise under the strict default
+    del sd["backbone.vit_block.1.mlp.fc2.weight"]
+    path = tmp_path / "partial.pth"
+    torch.save({"model": sd}, path)
+
+    fmodel = ViT(
+        input_size=32, patch_size=8, embed_dim=48, depth=2, num_heads=4,
+        num_bins=5, out_indices=(0, 1), masked_taps=(0, 1), dense_taps=(0, 1),
+        name="backbone",
+    )
+    variables = fmodel.init(jax.random.key(0), jnp.zeros((1, 32, 32, 5)))
+    params = {"backbone": variables["params"],
+              "classify_head": {"kernel": jnp.zeros((48, 3)),
+                                "bias": jnp.zeros((3,))}}
+
+    with pytest.raises(KeyError, match="strict subtrees"):
+        init_backbone_from(str(path), params)
+
+    # --lenient_import restores the reference behavior
+    out = init_backbone_from(str(path), params, strict_backbone=False)
+    assert out is not None
+
+    # a complete backbone + fresh head passes strict (head is not strict)
+    full = {"backbone." + k: v for k, v in tmodel.state_dict().items()}
+    path2 = tmp_path / "full.pth"
+    torch.save({"model": full}, path2)
+    out2 = init_backbone_from(str(path2), params)
+    got = np.asarray(out2["backbone"]["vit_block_1"]["mlp"]["fc2"]["kernel"])
+    want = tmodel.state_dict()["vit_block.1.mlp.fc2.weight"].numpy().T
+    np.testing.assert_allclose(got, want, rtol=1e-6)
