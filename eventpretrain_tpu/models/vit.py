@@ -29,7 +29,7 @@ import flax.linen as nn
 
 from eventpretrain_tpu.models.layers import PatchEmbed, ViTBlock
 from eventpretrain_tpu.ops.pos_embed import get_2d_sincos_pos_embed
-from eventpretrain_tpu.ops.reshape import emb2patch_frame
+from eventpretrain_tpu.ops.reshape import emb2patch_frame, frame2emb
 
 
 class ViT(nn.Module):
@@ -100,6 +100,39 @@ class ViT(nn.Module):
             x = self.pos_drop(x, deterministic)
         return x
 
+    def _embed_gathered(
+        self, x: jax.Array, ids_keep: jax.Array, deterministic: bool
+    ) -> jax.Array:
+        """Embed only the kept patches: gather BEFORE the patch conv.
+
+        With a stride==kernel VALID conv, per-patch embedding + LN + GELU are
+        all patch-local, so gather commutes with them exactly — this computes
+        the same values as ``_embed`` followed by ``take_along_axis`` while
+        doing 1/(1-mask_ratio)x fewer patch-embed FLOPs and touching K instead
+        of L tokens of LN/GELU/pos activations (the backward also shrinks: no
+        scatter over the L-token embedding). Reference semantics unchanged
+        (vit.py:110-115 embeds all patches then gathers; values agree).
+        """
+        b = x.shape[0]
+        k = ids_keep.shape[1]
+        p = self.patch_size
+        patches = frame2emb(p, x)  # (B, L, p*p*bins)
+        patches = jnp.take_along_axis(
+            patches, ids_keep[..., None].astype(jnp.int32), axis=1
+        )
+        # run the SAME PatchEmbed params on (B*K) little p x p images; the
+        # stride-p conv over a p x p input is exactly the per-patch matmul
+        patches = patches.reshape(b * k, p, p, x.shape[-1])
+        emb = self.patch_embed(patches).reshape(b, k, self.embed_dim)
+        pos = jnp.take(
+            self.pos_embed[0].astype(emb.dtype), ids_keep.astype(jnp.int32),
+            axis=0,
+        )
+        emb = emb + pos
+        if self.drop_rate > 0:
+            emb = self.pos_drop(emb, deterministic)
+        return emb
+
     def encode_masked(
         self,
         x: jax.Array,
@@ -113,10 +146,7 @@ class ViT(nn.Module):
         fused feature ``norm(emb_l1 + emb_l2 + emb_h)`` (or ``norm(emb_h)``
         when feature fusion is off). Parity: reference vit.py:107-130.
         """
-        x = self._embed(x, deterministic)
-        x = jnp.take_along_axis(
-            x, ids_keep[..., None].astype(jnp.int32), axis=1
-        )
+        x = self._embed_gathered(x, ids_keep, deterministic)
 
         taps = {}
         for i, blk in enumerate(self.vit_block):

@@ -51,6 +51,30 @@ class TestViT:
         assert emb_l1.shape == (2, 49, 384)
         assert emb_lh.shape == (2, 49, 384)
 
+    def test_gather_first_embed_matches_embed_then_gather(self):
+        # encode_masked embeds only the kept patches (gather BEFORE the
+        # stride=kernel patch conv); must equal the reference order of
+        # embed-all-then-gather (vit.py:110-115) bit-for-bit in f32
+        model, variables = _init_vit()
+        x = jnp.asarray(
+            np.random.default_rng(3).normal(size=(2, 224, 224, 5)),
+            jnp.float32,
+        )
+        ids_keep, _, _ = random_masking(jax.random.key(7), 2, 196, 0.75)
+
+        def embed_then_gather(m):
+            e = m._embed(x, True)
+            return jnp.take_along_axis(
+                e, ids_keep[..., None].astype(jnp.int32), axis=1
+            )
+
+        def gather_first(m):
+            return m._embed_gathered(x, ids_keep, True)
+
+        ref = model.apply(variables, method=embed_then_gather)
+        got = model.apply(variables, method=gather_first)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
     def test_masked_path_consistent_with_dense(self):
         # with mask_ratio 0 (keep all), masked path == fused dense activations
         model, variables = _init_vit()
