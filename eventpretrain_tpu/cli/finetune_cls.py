@@ -95,6 +95,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--smoothing", type=float, default=0.1)
     p.add_argument("--accum_iter", type=int, default=1)
     p.add_argument("--drop_path_rate", type=float, default=0.1)
+    p.add_argument("--drop_rate", type=float, default=0.0)
+    p.add_argument("--attn_drop_rate", type=float, default=0.0)
+    p.add_argument("--resize_mode", default="bilinear",
+                   choices=["nearest", "bilinear", "bicubic"],
+                   help="event-grid resize interpolation (reference "
+                        "main_finetune_cls.py:48)")
+    p.add_argument("--lr", type=float, default=None,
+                   help="absolute lr; overrides the --blr * eff_bs/256 "
+                        "scaling")
+    p.add_argument("--use_checkpoint", action="store_true",
+                   help="jax.checkpoint (remat) each transformer block: "
+                        "recompute activations in the backward to save HBM "
+                        "(reference --use_checkpoint / torch "
+                        "utils.checkpoint)")
     p.add_argument("--linprob", action="store_true",
                    help="freeze all but the classify head")
     p.add_argument("--finetune", default=None,
@@ -199,6 +213,7 @@ def main(args=None):
         infer_sensor_size=infer,
         event_noise=args.val_event_noise,
         use_evrep=args.use_evrepsl,
+        resize_mode=args.resize_mode,
     )
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
@@ -246,6 +261,9 @@ def main(args=None):
         dtype=dtype,
         input_size=args.input_size,
         drop_path_rate=args.drop_path_rate,
+        drop_rate=args.drop_rate,
+        attn_drop_rate=args.attn_drop_rate,
+        use_remat=args.use_checkpoint,
     )
     variables = jax.jit(hub.init)(
         jax.random.key(args.seed),
@@ -263,7 +281,7 @@ def main(args=None):
 
     steps_per_epoch = max(len(train_src) // args.batch_size, 1)
     eff_batch = args.batch_size * args.accum_iter
-    lr = args.blr * eff_batch / 256
+    lr = args.lr if args.lr is not None else args.blr * eff_batch / 256
     schedule = cosine_warmup_schedule(
         lr, args.min_lr, args.warmup_epochs, args.epochs, steps_per_epoch
     )

@@ -99,6 +99,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--clip_grad", type=float, default=5.0)
     p.add_argument("--w_decode_loss", type=float, default=1.0)
     p.add_argument("--w_auxiliary_loss", type=float, default=0.4)
+    p.add_argument("--drop_path_rate", type=float, default=0.1)
+    p.add_argument("--drop_rate", type=float, default=0.0)
+    p.add_argument("--attn_drop_rate", type=float, default=0.0)
+    p.add_argument("--crop_min", type=float, default=0.8)
+    p.add_argument("--sample_mode", default="bilinear",
+                   choices=["nearest", "bilinear", "bicubic"],
+                   help="prediction/decoder resize interpolation (reference "
+                        "main_finetune_semseg.py:99)")
+    p.add_argument("--lr", type=float, default=None,
+                   help="absolute lr; overrides the --blr * eff_bs/256 "
+                        "scaling")
+    p.add_argument("--use_checkpoint", action="store_true",
+                   help="jax.checkpoint (remat) each transformer block: "
+                        "recompute activations in the backward to save HBM "
+                        "(reference --use_checkpoint / torch "
+                        "utils.checkpoint)")
     p.add_argument("--finetune", default=None)
     p.add_argument("--lenient_import", action="store_true",
                    help="allow torch --finetune files that do not cover "
@@ -172,13 +188,17 @@ def main(args=None):
         fix_events_num=args.fix_events_num,
         val_fix_events_num=args.val_fix_events_num,
         sensor_height=sensor_hw[0], sensor_width=sensor_hw[1],
+        crop_min=args.crop_min,
         label_size=sensor_hw,
     )
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     hub = HUBS[(args.backbone, args.model_size)](
         num_classes=args.num_classes, num_bins=args.num_bins, dtype=dtype,
         input_size=args.input_size,
-    )
+        drop_path_rate=args.drop_path_rate,
+        drop_rate=args.drop_rate, attn_drop_rate=args.attn_drop_rate,
+        use_remat=args.use_checkpoint,
+    ).clone(sample_mode=args.sample_mode)
     variables = jax.jit(hub.init)(
         jax.random.key(args.seed),
         jnp.zeros((1, args.input_size, args.input_size, args.num_bins)),
@@ -194,7 +214,8 @@ def main(args=None):
         )
 
     steps_per_epoch = max(len(train_src) // args.batch_size, 1)
-    lr = args.blr * args.batch_size / 256
+    lr = (args.lr if args.lr is not None
+          else args.blr * args.batch_size / 256)
     schedule = cosine_warmup_schedule(
         lr, args.min_lr, args.warmup_epochs, args.epochs, steps_per_epoch
     )
@@ -234,9 +255,11 @@ def main(args=None):
     train_step = make_semseg_train_step(
         hub, num_classes=args.num_classes, ignore_index=ignore,
         w_decode=args.w_decode_loss, w_aux=args.w_auxiliary_loss,
+        sample_mode=args.sample_mode,
     )
     eval_step = make_semseg_eval_step(
-        hub, num_classes=args.num_classes, ignore_label=ignore
+        hub, num_classes=args.num_classes, ignore_label=ignore,
+        sample_mode=args.sample_mode,
     )
 
     writer = ScalarWriter(

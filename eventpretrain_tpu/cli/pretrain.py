@@ -109,6 +109,33 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weight_decay", type=float, default=0.05)
     p.add_argument("--accum_iter", type=int, default=1)
     p.add_argument("--drop_path_rate", type=float, default=0.0)
+    p.add_argument("--drop_rate", type=float, default=0.0)
+    p.add_argument("--attn_drop_rate", type=float, default=0.0)
+    p.add_argument("--use_feature_fusion", action="store_true", default=True)
+    p.add_argument("--no-use_feature_fusion", dest="use_feature_fusion",
+                   action="store_false",
+                   help="fuse taps 1+3+final in the masked path (reference "
+                        "main_pretrain.py:114-115, default on)")
+    p.add_argument("--lr", type=float, default=None,
+                   help="absolute lr; overrides the --blr * eff_bs/256 "
+                        "scaling (reference main_pretrain.py:104,322-327)")
+    p.add_argument("--use_layer_decay", action="store_true",
+                   help="layer-wise lr decay (reference main_pretrain.py:45)")
+    p.add_argument("--layer_decay", type=float, default=0.75)
+    p.add_argument("--use_layer_grafted", action="store_true",
+                   help="3-scale [0.01,0.1,1] block-third lr scaling "
+                        "(reference lr_decay.py:34-37)")
+    p.add_argument("--ema_m", type=float, default=0.99,
+                   help="ECDP base EMA momentum (reference "
+                        "main_pretrain.py:127)")
+    p.add_argument("--lambda_image", type=float, default=1.0)
+    p.add_argument("--lambda_event", type=float, default=1.0)
+    p.add_argument("--lambda_kl", type=float, default=2.0)
+    p.add_argument("--use_checkpoint", action="store_true",
+                   help="jax.checkpoint (remat) each transformer block: "
+                        "recompute activations in the backward to save HBM "
+                        "(reference --use_checkpoint / torch "
+                        "utils.checkpoint)")
     p.add_argument("--crop_min", type=float, default=0.8)
     p.add_argument("--init_from", default=None,
                    help="stage chaining: checkpoint (orbax dir or torch .pth)")
@@ -232,6 +259,9 @@ def main(args=None):
         num_bins=args.num_bins, mask_ratio=args.mask_ratio,
         frame_chans=args.frame_chans, with_decoder=need_decoder, dtype=dtype,
         input_size=args.input_size, drop_path_rate=args.drop_path_rate,
+        drop_rate=args.drop_rate, attn_drop_rate=args.attn_drop_rate,
+        use_feature_fusion=args.use_feature_fusion,
+        use_remat=args.use_checkpoint,
     )
     num_patches = hub.num_patches
     patch_size = 32 if args.backbone == "swin" else 16
@@ -312,7 +342,7 @@ def main(args=None):
 
     steps_per_epoch = max(len(source) // args.batch_size, 1)
     eff_batch = args.batch_size * args.accum_iter
-    lr = args.blr * eff_batch / 256
+    lr = args.lr if args.lr is not None else args.blr * eff_batch / 256
     schedule = cosine_warmup_schedule(
         lr, args.min_lr, args.warmup_epochs, args.epochs, steps_per_epoch
     )
@@ -323,6 +353,9 @@ def main(args=None):
         params, learning_rate=schedule, weight_decay=args.weight_decay,
         betas=(0.9, 0.95), num_layers=12, trainable_mask=trainable_mask,
         accum_steps=args.accum_iter,
+        layer_decay=args.layer_decay if args.use_layer_decay else 1.0,
+        backbone_type=args.backbone,
+        layer_grafted=args.use_layer_grafted,
     )
     mesh = None
     if args.data_parallel:
@@ -594,6 +627,8 @@ def main_ecdp(args):
     }[("convvit" if args.backbone == "convvit" else "vit", args.model_size)](
         dtype=dtype, input_size=args.input_size,
         drop_path_rate=args.drop_path_rate,
+        drop_rate=args.drop_rate, attn_drop_rate=args.attn_drop_rate,
+        use_remat=args.use_checkpoint,
     )
 
     num_patches = (args.input_size // 16) ** 2
@@ -610,7 +645,8 @@ def main_ecdp(args):
     print(f"model params: {count_params(params):.2f}M")
 
     steps_per_epoch = max(len(source) // args.batch_size, 1)
-    lr = args.blr * args.batch_size / 256
+    lr = (args.lr if args.lr is not None
+          else args.blr * args.batch_size / 256)
     schedule = cosine_warmup_schedule(
         lr, args.min_lr, args.warmup_epochs, args.epochs, steps_per_epoch
     )
@@ -646,6 +682,8 @@ def main_ecdp(args):
         model, num_patches=num_patches, mask_ratio=args.mask_ratio,
         use_queue=args.use_queue, total_epochs=args.epochs,
         steps_per_epoch=steps_per_epoch,
+        lambda_image=args.lambda_image, lambda_event=args.lambda_event,
+        lambda_kl=args.lambda_kl, base_ema_momentum=args.ema_m,
     )
     key = jax.random.key(args.seed)
     start_epoch = int(state.step) // steps_per_epoch

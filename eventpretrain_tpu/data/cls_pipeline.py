@@ -55,7 +55,9 @@ class ClsDataConfig:
     val_fix_events_num: int = 30000
     canvas_height: int = 128        # >= dataset max sensor height
     canvas_width: int = 128
-    resize_mode: str = "nearest"
+    # reference cls datasets resize the grid with args.resize_mode,
+    # default 'bilinear' (main_finetune_cls.py:48, ft_n_cars_dataset.py:85-87)
+    resize_mode: str = "bilinear"
     crop_min: float = 0.8
     infer_sensor_size: bool = True  # N-Cars: from event maxima (ref :64)
     event_noise: bool = False       # robustness eval (--val_event_noise)

@@ -56,6 +56,10 @@ class DenseDataConfig:
     sensor_width: int = 640
     crop_min: float = 0.8
     stream_augment: bool = True
+    # evg resize interpolation: the reference hardcodes 'bilinear' for the
+    # dense tasks (ft_dsec_dataset.py:255-258, ft_ddd17_dataset.py:154-157,
+    # ft_mvsec_dataset.py:232-239); labels keep their own nearest/flow modes
+    resize_mode: str = "bilinear"
     label_size: Optional[tuple[int, int]] = None  # None = input_size
     compact_transfer: bool = True   # uint16 event codec (data/codec.py)
     transfer_codec: str = "u32"     # "u32" | "u16" (data/codec.py)
@@ -64,12 +68,12 @@ class DenseDataConfig:
 @functools.partial(
     jax.jit,
     static_argnames=("num_bins", "height", "width", "out_size", "task",
-                     "label_h", "label_w"),
+                     "label_h", "label_w", "resize_mode"),
 )
 def _device_preprocess(
     events, counts, labels, valid, params: ViewParams, *,
     num_bins: int, height: int, width: int, out_size: int, task: str,
-    label_h: int, label_w: int, t_range=None,
+    label_h: int, label_w: int, resize_mode: str = "bilinear", t_range=None,
 ):
     from eventpretrain_tpu.data.representations import build_representation
 
@@ -83,7 +87,7 @@ def _device_preprocess(
         events, counts, num_bins=num_bins, height=height, width=width
     )
     evg = apply_view_augment(
-        evg, params, (out_size, out_size), "nearest",
+        evg, params, (out_size, out_size), resize_mode,
         negate_on_tflip=num_bins in (5, 6),
     )
     out = {"evg": evg}
@@ -183,6 +187,7 @@ class DensePipeline:
                 task=cfg.task,
                 label_h=label_hw[0],
                 label_w=label_hw[1],
+                resize_mode=cfg.resize_mode,
                 t_range=dev_t_range,
             )
             batch["num_valid"] = jnp.asarray(num_valid, jnp.int32)

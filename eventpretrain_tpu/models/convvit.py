@@ -106,6 +106,7 @@ class ConvViT(nn.Module):
     with_rec_decoders: bool = True   # stage{1,2}_output_decode convs
     with_fpn: bool = False           # dense-task extra pyramid level
     layer_norm_eps: float = 1e-6
+    use_remat: bool = False  # jax.checkpoint blocks (reference --use_checkpoint)
     dtype: Any = jnp.float32
 
     @property
@@ -138,8 +139,16 @@ class ConvViT(nn.Module):
         dpr = [
             float(r) for r in np.linspace(0, self.drop_path_rate, sum(self.depths))
         ]
+        conv_cls = (
+            nn.remat(ConvBlock, static_argnums=(3,))
+            if self.use_remat else ConvBlock
+        )
+        vit_cls = (
+            nn.remat(ViTBlock, static_argnums=(2, 3))
+            if self.use_remat else ViTBlock
+        )
         self.conv_block1 = [
-            ConvBlock(
+            conv_cls(
                 kernel_size=5, mlp_ratio=4.0, drop=self.drop_rate,
                 drop_path_rate=dpr[i], dtype=self.dtype,
                 name=f"conv_block1_{i}",
@@ -148,7 +157,7 @@ class ConvViT(nn.Module):
         ]
         # NOTE: the reference sizes conv_block2 with depth[0] (convvit.py:36-38)
         self.conv_block2 = [
-            ConvBlock(
+            conv_cls(
                 kernel_size=5, mlp_ratio=4.0, drop=self.drop_rate,
                 drop_path_rate=dpr[self.depths[0] + i], dtype=self.dtype,
                 name=f"conv_block2_{i}",
@@ -156,7 +165,7 @@ class ConvViT(nn.Module):
             for i in range(self.depths[0])
         ]
         self.vit_block = [
-            ViTBlock(
+            vit_cls(
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 qkv_bias=True, drop=self.drop_rate,
                 attn_drop=self.attn_drop_rate,
@@ -229,7 +238,7 @@ class ConvViT(nn.Module):
         x = self._stages_to_tokens(x, deterministic)
         x = jnp.take_along_axis(x, ids_keep[..., None].astype(jnp.int32), 1)
         for blk in self.vit_block:
-            x = blk(x, deterministic)
+            x = blk(x, deterministic, False)
         s3 = x
 
         if self.use_feature_fusion:
@@ -262,9 +271,9 @@ class ConvViT(nn.Module):
         last = len(self.vit_block) - 1
         for i, blk in enumerate(self.vit_block):
             if i == last and return_attn:
-                x, attn = blk(x, deterministic, return_attn=True)
+                x, attn = blk(x, deterministic, True)
             else:
-                x = blk(x, deterministic)
+                x = blk(x, deterministic, False)
         emb_h = self.norm_layer(x)
 
         out_embs = []

@@ -41,6 +41,7 @@ class ConvViTECDP(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     layer_norm_eps: float = 1e-6
+    use_remat: bool = False  # jax.checkpoint blocks (reference --use_checkpoint)
     dtype: Any = jnp.float32
 
     @property
@@ -74,19 +75,27 @@ class ConvViTECDP(nn.Module):
         )
         dpr = [float(r) for r in np.linspace(0, self.drop_path_rate,
                                              sum(self.depths))]
+        conv_cls = (
+            nn.remat(ConvBlock, static_argnums=(3,))
+            if self.use_remat else ConvBlock
+        )
+        vit_cls = (
+            nn.remat(ViTBlock, static_argnums=(2, 3))
+            if self.use_remat else ViTBlock
+        )
         self.conv_block1 = [
-            ConvBlock(kernel_size=5, drop=self.drop_rate, drop_path_rate=dpr[i],
-                      dtype=self.dtype, name=f"conv_block1_{i}")
+            conv_cls(kernel_size=5, drop=self.drop_rate, drop_path_rate=dpr[i],
+                     dtype=self.dtype, name=f"conv_block1_{i}")
             for i in range(self.depths[0])
         ]
         self.conv_block2 = [
-            ConvBlock(kernel_size=5, drop=self.drop_rate,
-                      drop_path_rate=dpr[self.depths[0] + i],
-                      dtype=self.dtype, name=f"conv_block2_{i}")
+            conv_cls(kernel_size=5, drop=self.drop_rate,
+                     drop_path_rate=dpr[self.depths[0] + i],
+                     dtype=self.dtype, name=f"conv_block2_{i}")
             for i in range(self.depths[0])
         ]
         self.vit_block = [
-            ViTBlock(
+            vit_cls(
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 qkv_bias=True, drop=self.drop_rate,
                 attn_drop=self.attn_drop_rate,
@@ -141,9 +150,9 @@ class ConvViTECDP(nn.Module):
         last = len(self.vit_block) - 1
         for i, blk in enumerate(self.vit_block):
             if i == last and return_attn:
-                x, attn = blk(x, deterministic, return_attn=True)
+                x, attn = blk(x, deterministic, True)
             else:
-                x = blk(x, deterministic)
+                x = blk(x, deterministic, False)
         x = self.norm_layer(x)
         return x[:, 0], x[:, 1], attn
 
@@ -158,9 +167,9 @@ class ConvViTECDP(nn.Module):
         last = len(self.vit_block) - 1
         for i, blk in enumerate(self.vit_block):
             if i == last and return_attn:
-                x, attn = blk(x, deterministic, return_attn=True)
+                x, attn = blk(x, deterministic, True)
             else:
-                x = blk(x, deterministic)
+                x = blk(x, deterministic, False)
             if return_pyramid and i in self.out_indices:
                 out_embs.append(emb2patch_frame(x[:, 2:, :]))
         x = self.norm_layer(x)

@@ -24,6 +24,7 @@ class FtDenseHub(nn.Module):
     decode_channels: int = 384
     aux_channels: int = 256
     aux_in_index: int = 2
+    sample_mode: str = "bilinear"  # reference --sample_mode
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -43,6 +44,7 @@ class FtDenseHub(nn.Module):
             in_channels=self.decode_in_channels,
             channels=self.decode_channels,
             num_classes=self.num_classes,
+            sample_mode=self.sample_mode,
             dtype=self.dtype,
             name="decode_head",
         )(out_embs, train)

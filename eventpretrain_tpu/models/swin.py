@@ -218,6 +218,9 @@ class SparseSwin(nn.Module):
     # False keeps the param tree import-strict against its checkpoints
     with_final_norm: bool = True
     layer_norm_eps: float = 1e-6
+    # jax.checkpoint each block (reference --use_checkpoint,
+    # swin_block.py:484-489 torch utils.checkpoint)
+    use_remat: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -248,11 +251,15 @@ class SparseSwin(nn.Module):
         blocks = []
         merges = []
         res = min(self.patches_resolution)
+        block_cls = (
+            nn.remat(SparseSwinBlock, static_argnums=(3,))
+            if self.use_remat else SparseSwinBlock
+        )
         for i, depth in enumerate(self.depths):
             stage_res = res >> i
             ws = min(self.window_size, stage_res)
             stage_blocks = [
-                SparseSwinBlock(
+                block_cls(
                     num_heads=self.num_heads[i],
                     window_size=ws,
                     mlp_ratio=self.mlp_ratio,

@@ -36,6 +36,7 @@ class SwinECDDP(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.2
     layer_norm_eps: float = 1e-6
+    use_remat: bool = False  # reference --use_checkpoint (swin_ecddp.py:34)
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -48,6 +49,7 @@ class SwinECDDP(nn.Module):
             drop_path_rate=self.drop_path_rate,
             with_rec_decoders=False, with_final_norm=False,
             layer_norm_eps=self.layer_norm_eps,
+            use_remat=self.use_remat,
             dtype=self.dtype, name="backbone_swin",
         )
         if self.ape:

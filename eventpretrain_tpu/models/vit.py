@@ -48,6 +48,10 @@ class ViT(nn.Module):
     masked_taps: Sequence[int] = (1, 3)
     dense_taps: Sequence[int] = (0, 1)
     layer_norm_eps: float = 1e-6
+    # jax.checkpoint each block: recompute activations in the backward to
+    # trade FLOPs for HBM (reference --use_checkpoint / torch
+    # utils.checkpoint; here it applies to ViT blocks too)
+    use_remat: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -68,8 +72,13 @@ class ViT(nn.Module):
         import numpy as np
 
         dpr = [float(r) for r in np.linspace(0, self.drop_path_rate, self.depth)]
+        # static_argnums: deterministic / return_attn drive Python branches
+        block_cls = (
+            nn.remat(ViTBlock, static_argnums=(2, 3))
+            if self.use_remat else ViTBlock
+        )
         self.vit_block = [
-            ViTBlock(
+            block_cls(
                 num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio,
                 qkv_bias=True,
@@ -150,7 +159,7 @@ class ViT(nn.Module):
 
         taps = {}
         for i, blk in enumerate(self.vit_block):
-            x = blk(x, deterministic)
+            x = blk(x, deterministic, False)
             if i in self.masked_taps:
                 taps[i] = x
         emb_l1 = taps[self.masked_taps[0]]
@@ -185,9 +194,9 @@ class ViT(nn.Module):
         last = self.depth - 1
         for i, blk in enumerate(self.vit_block):
             if i == last and return_attn:
-                x, attn = blk(x, deterministic, return_attn=True)
+                x, attn = blk(x, deterministic, True)
             else:
-                x = blk(x, deterministic)
+                x = blk(x, deterministic, False)
             if i in self.dense_taps:
                 taps[i] = x
             if return_pyramid and i in self.out_indices:

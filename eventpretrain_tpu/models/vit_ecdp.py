@@ -33,6 +33,7 @@ class ViTECDP(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     layer_norm_eps: float = 1e-6
+    use_remat: bool = False  # jax.checkpoint blocks (reference --use_checkpoint)
     dtype: Any = jnp.float32
 
     @property
@@ -52,8 +53,12 @@ class ViTECDP(nn.Module):
             "tokens", nn.initializers.zeros, (1, 2, self.embed_dim)
         )
         dpr = [float(r) for r in np.linspace(0, self.drop_path_rate, self.depth)]
+        block_cls = (
+            nn.remat(ViTBlock, static_argnums=(2, 3))
+            if self.use_remat else ViTBlock
+        )
         self.vit_block = [
-            ViTBlock(
+            block_cls(
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 qkv_bias=True, drop=self.drop_rate,
                 attn_drop=self.attn_drop_rate, drop_path_rate=dpr[i],
@@ -100,9 +105,9 @@ class ViTECDP(nn.Module):
         last = self.depth - 1
         for i, blk in enumerate(self.vit_block):
             if i == last and return_attn:
-                x, attn = blk(x, deterministic, return_attn=True)
+                x, attn = blk(x, deterministic, True)
             else:
-                x = blk(x, deterministic)
+                x = blk(x, deterministic, False)
         x = self.norm_layer(x)
         return x[:, 0], x[:, 1], attn
 
@@ -119,9 +124,9 @@ class ViTECDP(nn.Module):
         last = self.depth - 1
         for i, blk in enumerate(self.vit_block):
             if i == last and return_attn:
-                x, attn = blk(x, deterministic, return_attn=True)
+                x, attn = blk(x, deterministic, True)
             else:
-                x = blk(x, deterministic)
+                x = blk(x, deterministic, False)
             if return_pyramid and i in self.out_indices:
                 out_embs.append(emb2patch_frame(x[:, 2:, :]))
         x = self.norm_layer(x)

@@ -171,6 +171,7 @@ class ViTMEM(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     layer_norm_eps: float = 1e-6
+    use_remat: bool = False  # jax.checkpoint blocks (reference --use_checkpoint)
     dtype: Any = jnp.float32
 
     @property
@@ -195,8 +196,12 @@ class ViTMEM(nn.Module):
             name="rel_pos_bias",
         )
         dpr = [float(r) for r in np.linspace(0, self.drop_path_rate, self.depth)]
+        block_cls = (
+            nn.remat(ViTBlockMEM, static_argnums=(3, 4))
+            if self.use_remat else ViTBlockMEM
+        )
         self.vit_block = [
-            ViTBlockMEM(
+            block_cls(
                 num_heads=self.num_heads,
                 window_size=(self.grid_size, self.grid_size),
                 mlp_ratio=self.mlp_ratio, init_values=self.init_values,
@@ -230,9 +235,9 @@ class ViTMEM(nn.Module):
         last = self.depth - 1
         for i, blk in enumerate(self.vit_block):
             if i == last and return_attn:
-                x, attn = blk(x, bias, deterministic, return_attn=True)
+                x, attn = blk(x, bias, deterministic, True)
             else:
-                x = blk(x, bias, deterministic)
+                x = blk(x, bias, deterministic, False)
             if return_pyramid and i in self.out_indices:
                 out_embs.append(emb2patch_frame(x[:, 1:, :]))
         emb = self.norm_layer(x[:, 1:].mean(axis=1))
