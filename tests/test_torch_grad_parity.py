@@ -175,6 +175,102 @@ def test_rec_loss_and_grad_parity():
     assert_tree_close(grads, grads_ref)
 
 
+def test_semseg_dense_stack_grad_parity():
+    """UPerHead + FCNHead + bilinear pred-resize + (CE + Dice) x (decode,
+    aux): loss and head-parameter gradients vs the reference composition
+    (ft_semseg_trainer.py:77-114 + semseg_loss.py), train-mode BN."""
+    from model.finetune_dense.ft_dense_decoder import (
+        FCNHead as RefFCNHead,
+        UPerHead as RefUPerHead,
+    )
+    from trainer.finetune_semseg.semseg_loss import SemsegLoss
+    from utils.reshape import resize as ref_resize
+
+    from eventpretrain_tpu.models.dense_heads import FCNHead, UPerHead
+    from eventpretrain_tpu.objectives.semseg import semseg_loss
+    from eventpretrain_tpu.ops.reshape import resize
+
+    torch.manual_seed(0)
+    args = ref_args(device="cpu", sample_mode="bilinear")
+    in_ch = [8, 12, 16, 16]
+    C = 6
+    # dropout_ratio=0 so train-mode randomness cannot desync the two
+    # frameworks; BN still runs in train mode (batch statistics)
+    ref_dec = RefUPerHead(
+        args=args, in_channels=in_ch, channels=16, out_channels=C,
+        in_index=[0, 1, 2, 3], pool_scales=(1, 2, 3, 6), dropout_ratio=0,
+    ).train()
+    ref_aux = RefFCNHead(
+        args=args, in_channels=16, channels=8, out_channels=C, in_index=2,
+        num_convs=1, kernel_size=3, concat_input=False, dropout_ratio=0,
+    ).train()
+    loss_mod = SemsegLoss(args, num_classes=C, ignore_index=255)
+
+    torch.manual_seed(1)
+    feats_t = [torch.randn(2, c, 16 >> i, 16 >> i)
+               for i, c in enumerate(in_ch)]
+    labels_np = np.random.default_rng(2).integers(0, C, (2, 32, 32))
+    labels_np[:, :3, :3] = 255  # exercise ignore masking
+    labels_t = torch.tensor(labels_np[:, None], dtype=torch.long)
+
+    dec_t = ref_resize(ref_dec(feats_t), size=(32, 32), mode="bilinear")
+    aux_t = ref_resize(ref_aux(feats_t), size=(32, 32), mode="bilinear")
+    ce_d, dice_d = loss_mod(dec_t, labels_t)
+    ce_a, dice_a = loss_mod(aux_t, labels_t)
+    loss_t = 1.0 * (ce_d + dice_d) + 0.4 * (ce_a + dice_a)
+    loss_t.backward()
+
+    feats_j = [jnp.asarray(nhwc(f)) for f in feats_t]
+    labels_j = jnp.asarray(labels_np.astype(np.int32))
+    ours_dec = UPerHead(in_channels=in_ch, channels=16, num_classes=C,
+                        dropout_ratio=0)
+    ours_aux = FCNHead(channels=8, num_classes=C, in_index=2,
+                       dropout_ratio=0)
+    v_dec = ours_dec.init(jax.random.key(0), feats_j, train=True)
+    v_aux = ours_aux.init(jax.random.key(0), feats_j, train=True)
+
+    def imp(sd, vs, what):
+        params, mp, up = import_torch_params(sd, vs["params"], verbose=False)
+        stats, ms, us = import_torch_params(
+            sd, vs["batch_stats"], verbose=False
+        )
+        assert mp == [] and ms == [], (what, mp, ms)
+        assert not (set(up) & set(us)), (what, sorted(set(up) & set(us)))
+        return params, stats
+
+    sd_dec, sd_aux = (
+        {k: np.asarray(v.detach().numpy()) for k, v in m.state_dict().items()}
+        for m in (ref_dec, ref_aux)
+    )
+    p_dec, s_dec = imp(sd_dec, v_dec, "dec")
+    p_aux, s_aux = imp(sd_aux, v_aux, "aux")
+
+    def loss_fn(heads_params):
+        p_dec, p_aux = heads_params
+        dec, _ = ours_dec.apply(
+            {"params": p_dec, "batch_stats": s_dec}, feats_j, train=True,
+            mutable=["batch_stats"],
+        )
+        aux, _ = ours_aux.apply(
+            {"params": p_aux, "batch_stats": s_aux}, feats_j, train=True,
+            mutable=["batch_stats"],
+        )
+        dec = resize(dec, (32, 32), "bilinear")
+        aux = resize(aux, (32, 32), "bilinear")
+        ce_d, dice_d = semseg_loss(dec, labels_j, C, ignore_index=255)
+        ce_a, dice_a = semseg_loss(aux, labels_j, C, ignore_index=255)
+        return 1.0 * (ce_d + dice_d) + 0.4 * (ce_a + dice_a)
+
+    loss_j, (g_dec, g_aux) = jax.value_and_grad(loss_fn)((p_dec, p_aux))
+    np.testing.assert_allclose(
+        float(loss_j), float(loss_t.detach()), atol=1e-5, rtol=1e-5
+    )
+    for ref_mod, grads, what in ((ref_dec, g_dec, "dec"),
+                                 (ref_aux, g_aux, "aux")):
+        g_ref = import_strict(grads_numpy(ref_mod), grads, what=what)
+        assert_tree_close(grads, g_ref, atol=5e-4, rtol=5e-3)
+
+
 def test_cls_loss_and_grad_parity():
     """Finetune cls: dense encode -> mean pool -> head -> CE (reference
     ft_cls_hub_model.py:118-139 + ft_cls_trainer.py:61-64)."""
