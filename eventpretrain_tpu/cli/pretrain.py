@@ -297,12 +297,15 @@ def main(args=None):
         params.update(v["params"])
     if args.pr_phase in ("adj", "con", "rec+con"):
         # token-level InfoNCE aligns event patch tokens 1:1 with CLIP
-        # ViT-B/16's 14x14 token grid (reference pr_hub_model.py forward_con),
-        # so the event view must share that grid
-        assert num_patches == 196, (
-            f"pr_phase={args.pr_phase} pairs event tokens with CLIP's 196 "
-            f"patch tokens; --input_size must be 224 (got {args.input_size} "
-            f"-> {num_patches} patches)"
+        # ViT-B/16's 14x14 token grid (reference pr_hub_model.py forward_con);
+        # vit/convvit share that grid directly, swin pairs its 7x7 tokens
+        # with a stride-2 conv projection of the CLIP grid (14^2 -> 7^2,
+        # reference pr_hub_model.py:92-97)
+        want = 49 if args.backbone == "swin" else 196
+        assert num_patches == want, (
+            f"pr_phase={args.pr_phase} pairs event tokens with CLIP's "
+            f"tokens; --input_size must be 224 (got {args.input_size} "
+            f"-> {num_patches} patches, need {want})"
         )
         clip0 = jnp.zeros((1, 197, 512))
         import functools

@@ -14,6 +14,7 @@ is NOT replicated — dense plans are simply the no-mask plans (SURVEY §7
 
 from __future__ import annotations
 
+import functools
 from typing import Any, NamedTuple, Optional, Sequence
 
 import numpy as np
@@ -60,6 +61,90 @@ def plans_to_device(plans: Sequence[StagePlan]) -> tuple[DeviceStagePlan, ...]:
         )
         for sp in plans
     )
+
+
+def pack_plans_np(plans, ids_keep, mask, ids_restore):
+    """Flatten a host plan set + per-step mask arrays into ONE int32 buffer.
+
+    Through the axon relay every ``jnp.asarray`` is a host->device RPC;
+    ``plans_to_device`` issues ~30 of them per training step (4 stages x
+    2 parities x 4 arrays + coords/merge + the 3 tiled mask arrays). This
+    pack + ``unpack_plans_on_device`` replaces them with one transfer and
+    one cached device-side slicing program. The layout tuple is hashable
+    and static per knapsack bucket variant, so only a handful of unpack
+    programs ever compile.
+    """
+    import numpy as np
+
+    arrs: list[np.ndarray] = []
+    shapes: list = []
+
+    def push(a):
+        a = np.asarray(a, np.int32)
+        shapes.append(tuple(a.shape))
+        arrs.append(a.ravel())
+
+    for sp in plans:
+        for p in (sp.plan_even, sp.plan_odd):
+            push(p.idx_shuffle)
+            push(p.idx_unshuffle)
+            push(p.gid)
+            push(p.coords_g)
+        push(sp.coords_flat)
+        if sp.merge_child_idx is not None:
+            push(sp.merge_child_idx)
+        else:
+            shapes.append(None)
+    push(ids_keep)
+    push(mask.astype(np.int32))
+    push(ids_restore)
+    flat = np.concatenate(arrs)
+    return flat, (len(plans), tuple(shapes))
+
+
+@functools.lru_cache(maxsize=32)
+def _unpack_program(layout, batch_size: int):
+    num_stages, shapes = layout
+
+    def unpack(flat):
+        out = []
+        off = 0
+        views = []
+        for shp in shapes:
+            if shp is None:
+                views.append(None)
+                continue
+            n = int(np.prod(shp)) if shp else 1
+            views.append(flat[off:off + n].reshape(shp))
+            off += n
+        i = 0
+        for _ in range(num_stages):
+            groups = []
+            for _ in range(2):
+                groups.append(DeviceGroupPlan(
+                    idx_shuffle=views[i], idx_unshuffle=views[i + 1],
+                    gid=views[i + 2], coords_g=views[i + 3],
+                ))
+                i += 4
+            coords_flat = views[i]; i += 1
+            merge = views[i]; i += 1
+            out.append(DeviceStagePlan(
+                plan_even=groups[0], plan_odd=groups[1],
+                coords_flat=coords_flat, merge_child_idx=merge,
+            ))
+        tile = lambda a: jnp.tile(a[None], (batch_size, 1))
+        ids_keep = tile(views[i]); i += 1
+        mask = tile(views[i]).astype(jnp.float32); i += 1
+        ids_restore = tile(views[i])
+        return tuple(out), ids_keep, mask, ids_restore
+
+    return jax.jit(unpack)
+
+
+def unpack_plans_on_device(flat_np, layout, batch_size: int):
+    """One transfer + one cached device program -> (plans, ids_keep (B,N),
+    mask (B,N) f32, ids_restore (B,N)). See :func:`pack_plans_np`."""
+    return _unpack_program(layout, batch_size)(jnp.asarray(flat_np))
 
 
 def expand_plan(plan: "DeviceGroupPlan", window_size: int):

@@ -328,17 +328,29 @@ class _HostCellMasker:
     (compile warm-up with discarded state, in-process restore) cannot
     silently shift the schedule for more than the interval until the next
     materialized read (e.g. a metrics fetch at print_freq).
+
+    Plan prefetch: because the schedule is a pure function of the step
+    index, a background thread precomputes the numpy planning (mask +
+    knapsack grouping, ~40 ms of host work at swin-T/224) ``prefetch``
+    steps ahead; the caller thread only converts the ready plan to device
+    arrays. Measured on v5e at bs64: 76 -> ~64 ms/step, and the step stops
+    degrading when the host is otherwise loaded (planning was the
+    critical path through the axon dispatch).
     """
 
     def __init__(self, plan_seed, domain_tag, num_cells, len_keep, *,
-                 input_resolution, window_size, cell_grid):
+                 input_resolution, window_size, cell_grid, prefetch: int = 2):
         import numpy as np
 
-        from eventpretrain_tpu.models.swin import plans_to_device
+        from eventpretrain_tpu.models.swin import (
+            pack_plans_np,
+            unpack_plans_on_device,
+        )
         from eventpretrain_tpu.models.swin_plan import build_swin_plans
 
         self._np = np
-        self._plans_to_device = plans_to_device
+        self._pack_plans_np = pack_plans_np
+        self._unpack_plans_on_device = unpack_plans_on_device
         self._build_swin_plans = build_swin_plans
         self.plan_seed = plan_seed
         self.domain_tag = domain_tag
@@ -348,6 +360,15 @@ class _HostCellMasker:
         self.window_size = window_size
         self.cell_grid = cell_grid
         self._counter = None
+        self._prefetch = prefetch
+        self._pool = None
+        self._pending = {}
+        if prefetch:
+            import concurrent.futures
+
+            self._pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="swin-plan"
+            )
 
     def _resolve_step(self, state, step_index):
         if step_index is not None:
@@ -370,9 +391,9 @@ class _HostCellMasker:
         self._counter += 1
         return step
 
-    def __call__(self, state, batch_size, step_index=None):
+    def _compute_np(self, step):
+        """Pure numpy planning for one step index (runs on the worker)."""
         np = self._np
-        step = self._resolve_step(state, step_index)
         noise = np.random.default_rng(
             [self.plan_seed, self.domain_tag, step]
         ).random(self.num_cells)
@@ -381,22 +402,35 @@ class _HostCellMasker:
         ids_keep_np = ids_shuffle[:self.len_keep]
         mask_np = np.ones(self.num_cells, np.float32)
         mask_np[ids_keep_np] = 0.0
-        plans = self._plans_to_device(
-            self._build_swin_plans(
-                mask_np.astype(bool),
-                input_resolution=(self.input_resolution,
-                                  self.input_resolution),
-                window_size=self.window_size,
-                cell_grid=self.cell_grid,
-            )
+        plans_np = self._build_swin_plans(
+            mask_np.astype(bool),
+            input_resolution=(self.input_resolution, self.input_resolution),
+            window_size=self.window_size,
+            cell_grid=self.cell_grid,
         )
-        tile = lambda a: jnp.asarray(np.tile(a[None], (batch_size, 1)))
-        return (
-            plans,
-            tile(ids_keep_np.astype(np.int32)),
-            tile(mask_np),
-            tile(ids_restore_np.astype(np.int32)),
+        # pack on the worker too: one int32 buffer -> one transfer
+        flat, layout = self._pack_plans_np(
+            plans_np, ids_keep_np, mask_np, ids_restore_np
         )
+        return flat, layout
+
+    def __call__(self, state, batch_size, step_index=None):
+        step = self._resolve_step(state, step_index)
+        if self._pool is not None:
+            for s in range(step, step + self._prefetch + 1):
+                if s not in self._pending:
+                    self._pending[s] = self._pool.submit(self._compute_np, s)
+            fut = self._pending.pop(step)
+            # drop stale schedules after a resync jump
+            for s in [s for s in self._pending if s <= step]:
+                self._pending.pop(s).cancel()
+            flat, layout = fut.result()
+        else:
+            flat, layout = self._compute_np(step)
+        plans, ids_keep, mask, ids_restore = self._unpack_plans_on_device(
+            flat, layout, batch_size
+        )
+        return plans, ids_keep, mask, ids_restore
 
 
 def make_swin_rec_step(

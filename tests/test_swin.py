@@ -263,3 +263,40 @@ def test_swin_rec_and_con_step():
     state, m = step(state, batch, jax.random.key(2))
     assert np.isfinite(float(m["loss"]))
     assert np.isfinite(float(m["rec_loss"])) and np.isfinite(float(m["con_loss"]))
+
+
+def test_pack_unpack_plans_roundtrip():
+    """pack_plans_np + unpack_plans_on_device (one transfer + one device
+    program per step) must reproduce plans_to_device + host tiling exactly."""
+    import numpy as np
+    import jax.numpy as jnp
+    from eventpretrain_tpu.models.swin import (
+        build_swin_plans, pack_plans_np, plans_to_device,
+        unpack_plans_on_device,
+    )
+
+    rng = np.random.default_rng(0)
+    mask = np.zeros(4, np.float32)
+    mask[rng.permutation(4)[:2]] = 1.0
+    plans_np = build_swin_plans(
+        mask.astype(bool), input_resolution=(16, 16), num_stages=4,
+        window_size=4, cell_grid=2,
+    )
+    ids_keep = np.where(mask == 0)[0].astype(np.int32)
+    ids_restore = np.argsort(np.concatenate(
+        [np.where(mask == 0)[0], np.where(mask == 1)[0]]
+    )).astype(np.int32)
+
+    flat, layout = pack_plans_np(plans_np, ids_keep, mask, ids_restore)
+    plans_d, ik, mk, ir = unpack_plans_on_device(flat, layout, batch_size=3)
+
+    ref_plans = plans_to_device(plans_np)
+    for a, b in zip(jax.tree.leaves(plans_d), jax.tree.leaves(ref_plans)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert ik.shape == (3, 2) and mk.shape == (3, 4) and ir.shape == (3, 4)
+    np.testing.assert_array_equal(np.asarray(ik), np.tile(ids_keep, (3, 1)))
+    np.testing.assert_array_equal(np.asarray(mk), np.tile(mask, (3, 1)))
+    np.testing.assert_array_equal(
+        np.asarray(ir), np.tile(ids_restore, (3, 1))
+    )
+    assert mk.dtype == jnp.float32
