@@ -437,3 +437,75 @@ def test_sparse_swin_masked_grad_parity():
     assert unused == []
     # swin-T at 224 is a deep graph; f32 accumulation-order drift is larger
     assert_tree_close(grads, grads_ref, atol=5e-3, rtol=1e-2)
+
+
+def test_vit_mem_grad_parity():
+    """ViT-MEM (cls token, shared rel-pos-bias, layer-scale blocks) +
+    mean-pool head + CE: gradients incl. the relative-position-bias table
+    (its grad flows through the per-block gathers) match the reference."""
+    from functools import partial
+
+    from model.backbone.vit_mem import ViT_MEM
+    from eventpretrain_tpu.models.vit_mem import ViTMEM
+
+    class RefCls(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            torch.manual_seed(0)
+            args = ref_args(phase="finetune_cls", backbone_type="vit_mem")
+            self.backbone = ViT_MEM(
+                args, input_size=32, patch_size=8, embed_dim=64, depth=4,
+                num_heads=4, mlp_ratio=4.0, out_indices=[0, 1, 2, 3],
+                num_bins=3, init_values=0.1,
+                norm_layer=partial(torch.nn.LayerNorm, eps=1e-6),
+            )
+            with torch.no_grad():
+                for name, p in self.backbone.named_parameters():
+                    if "relative_position_bias_table" in name:
+                        p.normal_(0, 0.02)
+            torch.manual_seed(14)
+            self.classify_head = torch.nn.Linear(64, 4)
+
+        def forward(self, x):
+            emb, _ = self.backbone(x)  # finetune_cls -> (emb, attn)
+            return self.classify_head(emb)
+
+    ref = RefCls().train()
+    torch.manual_seed(15)
+    x_t = torch.randn(2, 3, 32, 32)
+    labels_t = torch.tensor([1, 2])
+    loss_t = torch.nn.CrossEntropyLoss()(ref(x_t), labels_t)
+    loss_t.backward()
+
+    x_j = jnp.asarray(nhwc(x_t))
+    backbone = ViTMEM(
+        input_size=32, patch_size=8, embed_dim=64, depth=4, num_heads=4,
+        out_indices=(0, 1, 2, 3), num_bins=3,
+    )
+
+    class OurCls(nn.Module):
+        def setup(self):
+            self.backbone = backbone.clone(name="backbone")
+            self.classify_head = nn.Dense(4, name="classify_head")
+
+        def __call__(self, x):
+            emb, _, _ = self.backbone.encode_dense(x)
+            return self.classify_head(emb)
+
+    ours = OurCls()
+    params = ours.init(jax.random.key(0), x_j)["params"]
+    params = import_strict(
+        {k: np.asarray(v.detach().numpy())
+         for k, v in ref.state_dict().items()},
+        params, what="params",
+    )
+
+    def loss_fn(p):
+        return cls_loss(ours.apply({"params": p}, x_j),
+                        jnp.asarray(labels_t.numpy()))
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(loss_j), float(loss_t.detach()),
+                               atol=1e-5, rtol=1e-5)
+    grads_ref = import_strict(grads_numpy(ref), grads, what="grads")
+    assert_tree_close(grads, grads_ref)
