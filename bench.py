@@ -51,11 +51,19 @@ def run_suite(headline: dict) -> None:
     except Exception as e:
         print(f"[suite] events: FAILED {e}", file=sys.stderr)
         events = None
+    try:
+        from benchmarks.bench_serving import main as serving_main
+
+        serving = serving_main()
+    except Exception as e:
+        print(f"[suite] serving: FAILED {e}", file=sys.stderr)
+        serving = None
     out = {
         "backend": jax.default_backend(),
         "headline": headline,
         "phases": phases,
         "events_rasterizer": events,
+        "serving_latency": serving,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_suite.json"), "w") as f:
