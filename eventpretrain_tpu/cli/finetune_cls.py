@@ -193,9 +193,21 @@ def make_sources(args):
 
 def main(args=None):
     args = build_parser().parse_args(args)
+    if args.data_parallel:
+        # must run before anything initializes the XLA backend
+        from eventpretrain_tpu.parallel import maybe_initialize_distributed
+
+        maybe_initialize_distributed()
     np.random.seed(args.seed)
 
     train_src, val_src, extra_vals, sensor_hw = make_sources(args)
+    if args.data_parallel and jax.process_count() > 1:
+        from eventpretrain_tpu.parallel import HostShardedSource
+
+        train_src = HostShardedSource(train_src)
+        val_src = HostShardedSource(val_src)
+        extra_vals = {k: HostShardedSource(v)
+                      for k, v in extra_vals.items()}
     if sensor_hw is not None:
         canvas = sensor_hw
         infer = False
@@ -325,13 +337,8 @@ def main(args=None):
 
     mesh = None
     if args.data_parallel:
-        from eventpretrain_tpu.parallel import (
-            make_mesh,
-            maybe_initialize_distributed,
-            replicate,
-        )
+        from eventpretrain_tpu.parallel import make_mesh, replicate
 
-        maybe_initialize_distributed()
         mesh = make_mesh()
         ndev = mesh.shape["data"]
         assert args.batch_size % ndev == 0, (
@@ -416,10 +423,13 @@ def main(args=None):
             # backbones (vit/convvit/swin/swin_ecddp — swin builds its dense
             # plans internally) expose the l1/l2/h taps; the 3-tuple
             # ECDP/MEM backbones return a pooled embedding, so their panel
-            # is attention-only (taps={}), matching the reference variants
+            # is attention-only (taps={}), matching the reference variants.
+            # Only sample 0 is plotted, so run the diagnostic forward on one
+            # sample — materializing attention for the whole val batch
+            # costs (B, heads, L, L) HBM for nothing
             variables = {"params": state.params["backbone"]}
             out = hub.backbone.apply(
-                variables, evg, deterministic=True, return_attn=True,
+                variables, evg[:1], deterministic=True, return_attn=True,
                 method=hub.backbone.encode_dense,
             )
             if len(out) == 5:

@@ -180,6 +180,11 @@ CLIP_IN_LOOP_PHASES = ("adj-n", "con-n")
 
 def main(args=None):
     args = build_parser().parse_args(args)
+    if args.data_parallel:
+        # must run before anything initializes the XLA backend
+        from eventpretrain_tpu.parallel import maybe_initialize_distributed
+
+        maybe_initialize_distributed()
     np.random.seed(args.seed)
     clip_in_loop = args.pr_phase in CLIP_IN_LOOP_PHASES
     if args.pr_phase in PHASE_ALIASES:
@@ -218,6 +223,11 @@ def main(args=None):
     else:
         assert args.data_root, "--data_root required for ef_imagenet"
         source = EFImageNetSource(args.data_root, pr_phase=args.pr_phase)
+
+    if args.data_parallel and jax.process_count() > 1:
+        from eventpretrain_tpu.parallel import HostShardedSource
+
+        source = HostShardedSource(source)
 
     cfg = PretrainDataConfig(
         pr_phase=args.pr_phase, num_bins=args.num_bins,
@@ -354,7 +364,10 @@ def main(args=None):
     )
     tx = build_optimizer(
         params, learning_rate=schedule, weight_decay=args.weight_decay,
-        betas=(0.9, 0.95), num_layers=12, trainable_mask=trainable_mask,
+        betas=(0.9, 0.95),
+        # convvit's stage-3 block ids reach 13 (reference lr_decay.py:23-32)
+        num_layers=13 if args.backbone == "convvit" else 12,
+        trainable_mask=trainable_mask,
         accum_steps=args.accum_iter,
         layer_decay=args.layer_decay if args.use_layer_decay else 1.0,
         backbone_type=args.backbone,
@@ -362,12 +375,8 @@ def main(args=None):
     )
     mesh = None
     if args.data_parallel:
-        from eventpretrain_tpu.parallel import (
-            make_mesh,
-            maybe_initialize_distributed,
-        )
+        from eventpretrain_tpu.parallel import make_mesh
 
-        maybe_initialize_distributed()
         mesh = make_mesh()
         assert args.batch_size % mesh.shape["data"] == 0
 
@@ -612,6 +621,10 @@ def main_ecdp(args):
         )
     else:
         source = EFImageNetSource(args.data_root, pr_phase="con")
+    if args.data_parallel and jax.process_count() > 1:
+        from eventpretrain_tpu.parallel import HostShardedSource
+
+        source = HostShardedSource(source)
     cfg = PretrainDataConfig(
         pr_phase="ecdp", num_bins=2, input_size=args.input_size,
         crop_min=args.crop_min,

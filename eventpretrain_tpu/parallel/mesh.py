@@ -42,15 +42,30 @@ def maybe_initialize_distributed(verbose: bool = True) -> bool:
     """
     import os
 
-    if jax.process_count() > 1:
-        return True  # already initialized
     addr = (
         os.environ.get("JAX_COORDINATOR_ADDRESS")
         or os.environ.get("COORDINATOR_ADDRESS")
     )
     if not addr:
-        return False
-    jax.distributed.initialize()
+        return False  # single-host: never touch the backend here
+    # jax.distributed.initialize() must run BEFORE anything initializes the
+    # XLA backend — so no jax.process_count() probe here (it would
+    # initialize the backend and make initialize() raise). If a prior call
+    # already initialized the client, initialize() raising tells us so.
+    # jax reads only JAX_COORDINATOR_ADDRESS from env; the process
+    # topology vars must be passed explicitly.
+    num = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    try:
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(num) if num is not None else None,
+            process_id=int(pid) if pid is not None else None,
+        )
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return True
+        raise
     if verbose:
         print(
             f"[mesh] jax.distributed initialized: process "

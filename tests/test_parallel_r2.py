@@ -167,6 +167,34 @@ class TestHostSharding:
         monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
         assert maybe_initialize_distributed() is False
 
+    def test_maybe_initialize_passes_env_topology(self, monkeypatch):
+        """jax reads only JAX_COORDINATOR_ADDRESS from env; the helper must
+        pass num_processes/process_id explicitly AND must not probe
+        jax.process_count() first (that would initialize the XLA backend,
+        which jax.distributed.initialize() forbids)."""
+        import jax
+
+        from eventpretrain_tpu.parallel import maybe_initialize_distributed
+
+        calls = {}
+
+        def fake_initialize(coordinator_address=None, num_processes=None,
+                            process_id=None, **kw):
+            calls.update(addr=coordinator_address, num=num_processes,
+                         pid=process_id)
+
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "host0:1234")
+        monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+        monkeypatch.setenv("JAX_PROCESS_ID", "2")
+        monkeypatch.setattr(jax.distributed, "initialize", fake_initialize)
+
+        def forbidden():  # the old bug: backend probe before initialize
+            raise AssertionError("process_count() touched before initialize")
+
+        monkeypatch.setattr(jax, "process_count", forbidden)
+        assert maybe_initialize_distributed(verbose=False) is True
+        assert calls == {"addr": "host0:1234", "num": 4, "pid": 2}
+
 
 class TestSwinMaskSchedule:
     """Pin the host-RNG swin mask contract (VERDICT item 10 + advisor):
