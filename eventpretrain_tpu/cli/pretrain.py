@@ -701,12 +701,26 @@ def main_ecdp(args):
         lambda_image=args.lambda_image, lambda_event=args.lambda_event,
         lambda_kl=args.lambda_kl, base_ema_momentum=args.ema_m,
     )
+    mesh = None
+    if args.data_parallel:
+        from eventpretrain_tpu.parallel import make_mesh, replicate
+
+        mesh = make_mesh()
+        ndev = mesh.shape["data"]
+        assert args.batch_size % ndev == 0, (
+            f"--batch_size must divide the {ndev}-device mesh")
+        state = replicate(mesh, state)
+        print(f"data-parallel over {ndev} devices")
     key = jax.random.key(args.seed)
     start_epoch = int(state.step) // steps_per_epoch
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         pipe = EcdpPretrainPipeline(source, cfg, args.batch_size, train=True,
                                     seed=args.seed + epoch)
+        if mesh is not None:
+            from eventpretrain_tpu.parallel import ShardedPipeline
+
+            pipe = ShardedPipeline(pipe, mesh)
         state, metrics = train_one_epoch(
             step=step, state=state, pipeline=pipe,
             rng_key=jax.random.fold_in(key, epoch), epoch=epoch,
