@@ -509,3 +509,59 @@ def test_vit_mem_grad_parity():
                                atol=1e-5, rtol=1e-5)
     grads_ref = import_strict(grads_numpy(ref), grads, what="grads")
     assert_tree_close(grads, grads_ref)
+
+
+def test_swin_ecddp_grad_parity_tiny():
+    """Dense ECDDP swin (unclamped stage-4 shifts, per-out-index norms) at a
+    tiny config: parameter gradients of sum(pyramid^2) match the reference
+    SwinTransformer (swin_ecddp.py)."""
+    from model.backbone.swin_ecddp import swin_ecddp_tiny_window7 as ref_fac
+    from eventpretrain_tpu.models.swin_ecddp import SwinECDDP
+    from eventpretrain_tpu.ckpt.torch_import import import_torch_params
+
+    torch.manual_seed(0)
+    args = ref_args(phase="finetune_semseg", backbone_type="swin_ecddp")
+    # window_size=2 keeps every stage's map >= the window: for
+    # ws > map the reference pads the map up to ws while we clamp the
+    # window to the map — same attention span, different shifted-window
+    # grouping; production geometry (224, ws 7) never enters that regime
+    ref = ref_fac(
+        args=args, pretrain_img_size=64, patch_size=4, num_bins=5,
+        embed_dim=16, depths=[1, 1, 1, 1], num_heads=[2, 2, 2, 2],
+        window_size=2, drop_path_rate=0.0,
+    )
+    torch.manual_seed(16)
+    x_t = torch.randn(1, 5, 64, 64)
+    out = ref(x_t)
+    out_embs = out[5]
+    loss_t = sum((o.float() ** 2).sum() for o in out_embs)
+    loss_t.backward()
+
+    ours = SwinECDDP(
+        input_size=64, patch_size=4, embed_dims=(16, 32, 64, 128),
+        depths=(1, 1, 1, 1), num_heads=(2, 2, 2, 2), window_size=2,
+        num_bins=5, drop_path_rate=0.0,
+    )
+    x_j = jnp.asarray(nhwc(x_t))
+    params = ours.init(jax.random.key(0), x_j, method=ours.encode_dense,
+                       return_pyramid=True)["params"]
+    params = import_strict(
+        {k: np.asarray(v.detach().numpy())
+         for k, v in ref.state_dict().items()},
+        params, what="params",
+    )
+
+    def loss_fn(p):
+        o = ours.apply({"params": p}, x_j, method=ours.encode_dense,
+                       return_pyramid=True)
+        return sum(jnp.sum(e.astype(jnp.float32) ** 2) for e in o[3])
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(loss_j), float(loss_t.detach()),
+                               rtol=1e-5)
+    zeros = jax.tree.map(jnp.zeros_like, grads)
+    grads_ref, _missing, unused = import_torch_params(
+        grads_numpy(ref), zeros, verbose=False
+    )
+    assert unused == []
+    assert_tree_close(grads, grads_ref, atol=1e-3, rtol=5e-3)
