@@ -565,3 +565,65 @@ def test_swin_ecddp_grad_parity_tiny():
     )
     assert unused == []
     assert_tree_close(grads, grads_ref, atol=1e-3, rtol=5e-3)
+
+
+def test_vit_ecdp_masked_grad_parity():
+    """ViT-ECDP masked path (2 learned tokens prepended after the gather):
+    gradients of a fixed linear functional of the token embeddings match the
+    reference (vit_ecdp.py:107-125).
+
+    Two numerical traps deliberately avoided here:
+    - the reference zero-inits ``tokens`` (vit_ecdp.py:27); an exactly-zero
+      row through pre-norm LayerNorm has var=0 and its backward is scaled by
+      1/sqrt(eps) ~ 1e3, amplifying float noise past the grads themselves —
+      so the tokens are perturbed to a realistic non-zero state first;
+    - sum(emb**2) of a LayerNorm output is ~constant (rows have unit
+      variance), making every grad eps-level noise — a fixed random linear
+      readout keeps the gradient well-conditioned instead.
+    """
+    from tests.test_torch_parity import build_ref_vit_ecdp, build_our_vit_ecdp
+    from eventpretrain_tpu.ops.masking import make_mask_from_noise, masking_noise
+
+    ref = build_ref_vit_ecdp("pretrain")
+    with torch.no_grad():
+        ref.tokens.normal_(0.0, 0.02, generator=torch.Generator().manual_seed(5))
+    rng = np.random.default_rng(11)
+    w_e = rng.standard_normal((2, 64)).astype(np.float32)
+    w_i = rng.standard_normal((2, 64)).astype(np.float32)
+
+    torch.manual_seed(17)
+    x_t = torch.randn(2, 2, 32, 32)
+    r_event, r_image, _, _, _ = ref(x_t, mask=True)
+    loss_t = ((r_event.float() * torch.from_numpy(w_e)).sum()
+              + (r_image.float() * torch.from_numpy(w_i)).sum())
+    loss_t.backward()
+
+    x_j = jnp.asarray(nhwc(x_t))
+    noise = masking_noise(jax.random.key(0), x_j, 8, "density")
+    ids_keep, _, _ = make_mask_from_noise(noise, int(16 * 0.25))
+    ours = build_our_vit_ecdp()
+    params = ours.init(jax.random.key(0), x_j, ids_keep,
+                       method=ours.encode_masked)["params"]
+    params = import_strict(
+        {k: np.asarray(v.detach().numpy())
+         for k, v in ref.state_dict().items()},
+        params, what="params",
+    )
+
+    def loss_fn(p):
+        e, i, _ = ours.apply({"params": p}, x_j, ids_keep,
+                             method=ours.encode_masked)
+        return (jnp.sum(e.astype(jnp.float32) * w_e)
+                + jnp.sum(i.astype(jnp.float32) * w_i))
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(loss_j), float(loss_t.detach()),
+                               rtol=1e-4, atol=1e-4)
+    from eventpretrain_tpu.ckpt.torch_import import import_torch_params
+
+    zeros = jax.tree.map(jnp.zeros_like, grads)
+    grads_ref, _m, unused = import_torch_params(
+        grads_numpy(ref), zeros, verbose=False
+    )
+    assert unused == []
+    assert_tree_close(grads, grads_ref, atol=5e-4, rtol=5e-3)
