@@ -102,43 +102,50 @@ def pack_plans_np(plans, ids_keep, mask, ids_restore):
     return flat, (len(plans), tuple(shapes))
 
 
+def unpack_plans_traced(flat, layout, batch_size: int):
+    """Traceable inverse of :func:`pack_plans_np`.
+
+    Pure slicing/reshape/tile on ``flat``; callable inside a jitted train
+    step (``layout`` static) so the per-step plan handoff is a single
+    array argument instead of a ~30-leaf pytree dispatch."""
+    num_stages, shapes = layout
+    out = []
+    off = 0
+    views = []
+    for shp in shapes:
+        if shp is None:
+            views.append(None)
+            continue
+        n = int(np.prod(shp)) if shp else 1
+        views.append(flat[off:off + n].reshape(shp))
+        off += n
+    i = 0
+    for _ in range(num_stages):
+        groups = []
+        for _ in range(2):
+            groups.append(DeviceGroupPlan(
+                idx_shuffle=views[i], idx_unshuffle=views[i + 1],
+                gid=views[i + 2], coords_g=views[i + 3],
+            ))
+            i += 4
+        coords_flat = views[i]; i += 1
+        merge = views[i]; i += 1
+        out.append(DeviceStagePlan(
+            plan_even=groups[0], plan_odd=groups[1],
+            coords_flat=coords_flat, merge_child_idx=merge,
+        ))
+    tile = lambda a: jnp.tile(a[None], (batch_size, 1))
+    ids_keep = tile(views[i]); i += 1
+    mask = tile(views[i]).astype(jnp.float32); i += 1
+    ids_restore = tile(views[i])
+    return tuple(out), ids_keep, mask, ids_restore
+
+
 @functools.lru_cache(maxsize=32)
 def _unpack_program(layout, batch_size: int):
-    num_stages, shapes = layout
-
-    def unpack(flat):
-        out = []
-        off = 0
-        views = []
-        for shp in shapes:
-            if shp is None:
-                views.append(None)
-                continue
-            n = int(np.prod(shp)) if shp else 1
-            views.append(flat[off:off + n].reshape(shp))
-            off += n
-        i = 0
-        for _ in range(num_stages):
-            groups = []
-            for _ in range(2):
-                groups.append(DeviceGroupPlan(
-                    idx_shuffle=views[i], idx_unshuffle=views[i + 1],
-                    gid=views[i + 2], coords_g=views[i + 3],
-                ))
-                i += 4
-            coords_flat = views[i]; i += 1
-            merge = views[i]; i += 1
-            out.append(DeviceStagePlan(
-                plan_even=groups[0], plan_odd=groups[1],
-                coords_flat=coords_flat, merge_child_idx=merge,
-            ))
-        tile = lambda a: jnp.tile(a[None], (batch_size, 1))
-        ids_keep = tile(views[i]); i += 1
-        mask = tile(views[i]).astype(jnp.float32); i += 1
-        ids_restore = tile(views[i])
-        return tuple(out), ids_keep, mask, ids_restore
-
-    return jax.jit(unpack)
+    return jax.jit(
+        lambda flat: unpack_plans_traced(flat, layout, batch_size)
+    )
 
 
 def unpack_plans_on_device(flat_np, layout, batch_size: int):

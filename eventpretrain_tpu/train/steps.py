@@ -414,19 +414,42 @@ class _HostCellMasker:
         )
         return flat, layout
 
-    def __call__(self, state, batch_size, step_index=None):
+    def _compute_xfer(self, step):
+        """Numpy planning + host->device transfer on the worker thread: the
+        per-step upload (~one int32 buffer through the axon relay) overlaps
+        the previous step's device compute instead of riding the caller's
+        critical path. JAX dispatch is thread-safe; the single-worker pool
+        keeps uploads ordered."""
+        import jax.numpy as jnp
+
+        flat, layout = self._compute_np(step)
+        return jnp.asarray(flat), layout
+
+    def flat_layout(self, state, step_index=None):
+        """(flat_device_buffer, layout) for this step — the fused handoff:
+        the jitted train step unpacks the buffer in-trace
+        (models/swin.py::unpack_plans_traced with ``layout`` static), so
+        the per-step dispatch carries ONE extra array argument instead of a
+        ~30-leaf plans pytree plus a separate unpack program."""
         step = self._resolve_step(state, step_index)
         if self._pool is not None:
             for s in range(step, step + self._prefetch + 1):
                 if s not in self._pending:
-                    self._pending[s] = self._pool.submit(self._compute_np, s)
+                    self._pending[s] = self._pool.submit(
+                        self._compute_xfer, s
+                    )
             fut = self._pending.pop(step)
             # drop stale schedules after a resync jump
             for s in [s for s in self._pending if s <= step]:
                 self._pending.pop(s).cancel()
-            flat, layout = fut.result()
-        else:
-            flat, layout = self._compute_np(step)
+            return fut.result()
+        flat, layout = self._compute_np(step)
+        import jax.numpy as jnp
+
+        return jnp.asarray(flat), layout
+
+    def __call__(self, state, batch_size, step_index=None):
+        flat, layout = self.flat_layout(state, step_index)
         plans, ids_keep, mask, ids_restore = self._unpack_plans_on_device(
             flat, layout, batch_size
         )
@@ -452,12 +475,20 @@ def make_swin_rec_step(
     static-shape inputs. Plans are bucketed so only a handful of group-count
     variants ever compile.
     """
+    from eventpretrain_tpu.models.swin import unpack_plans_traced
+
     num_cells = cell_grid ** 2
     len_keep = int(num_cells * (1 - mask_ratio))
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def inner(state: TrainState, batch, plans, ids_keep, mask, ids_restore,
-              rng):
+    # layout is static (hashable, one value per knapsack bucket) so the
+    # in-trace unpack costs nothing at dispatch time; see
+    # _HostCellMasker.flat_layout for why.
+    @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
+    def inner(state: TrainState, batch, flat, layout, rng):
+        plans, ids_keep, mask, ids_restore = unpack_plans_traced(
+            flat, layout, batch["evg"].shape[0]
+        )
+
         def loss_fn(params):
             pred, *_ = state.apply_fn(
                 {"params": params},
@@ -486,11 +517,8 @@ def make_swin_rec_step(
     )
 
     def step(state: TrainState, batch, rng, step_index=None):
-        batch_size = batch["evg"].shape[0]
-        plans, ids_keep, mask, ids_restore = masker(
-            state, batch_size, step_index
-        )
-        return inner(state, batch, plans, ids_keep, mask, ids_restore, rng)
+        flat, layout = masker.flat_layout(state, step_index)
+        return inner(state, batch, flat, layout, rng)
 
     return step
 
@@ -785,12 +813,17 @@ def make_swin_rec_and_con_step(
 ) -> Callable:
     """Combined rec+con step for the sparse Swin backbone (reference
     pr_rec_and_con_one_epoch with swin, pr_trainer.py:225-304)."""
+    from eventpretrain_tpu.models.swin import unpack_plans_traced
+
     num_cells = cell_grid ** 2
     len_keep = int(num_cells * (1 - mask_ratio))
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def inner(state: TrainState, batch, plans, ids_keep, mask, ids_restore,
-              rng):
+    @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
+    def inner(state: TrainState, batch, flat, layout, rng):
+        plans, ids_keep, mask, ids_restore = unpack_plans_traced(
+            flat, layout, batch["evg"].shape[0]
+        )
+
         def loss_fn(params):
             rng_d1, rng_d2 = jax.random.split(rng)
             pred, *_ = state.apply_fn(
@@ -836,11 +869,8 @@ def make_swin_rec_and_con_step(
     )
 
     def step(state: TrainState, batch, rng, step_index=None):
-        batch_size = batch["evg"].shape[0]
-        plans, ids_keep, mask, ids_restore = masker(
-            state, batch_size, step_index
-        )
-        return inner(state, batch, plans, ids_keep, mask, ids_restore, rng)
+        flat, layout = masker.flat_layout(state, step_index)
+        return inner(state, batch, flat, layout, rng)
 
     return step
 
