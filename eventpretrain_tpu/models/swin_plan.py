@@ -72,8 +72,7 @@ def knapsack(capacity: int, weights: Sequence[int]) -> tuple[int, list[int]]:
     return best, idx[::-1]
 
 
-def group_windows(group_size: int, occupancy: list[int]):
-    """Greedy knapsack packing (port of swin_block.py:326-352)."""
+def _group_windows_numpy(group_size: int, occupancy: list[int]):
     wt = list(occupancy)
     ori_idx = list(range(len(wt)))
     grouped_idx, num_ele_group = [], []
@@ -84,6 +83,29 @@ def group_windows(group_size: int, occupancy: list[int]):
         keep = [i for i in range(len(ori_idx)) if i not in idx]
         wt = [wt[i] for i in keep]
         ori_idx = [ori_idx[i] for i in keep]
+    return num_ele_group, grouped_idx
+
+
+def group_windows(group_size: int, occupancy: list[int]):
+    """Greedy knapsack packing (port of swin_block.py:326-352).
+
+    Dispatches to the native C++ DP (native/event_pack.cpp::
+    group_windows_native) when available — the planner runs every pretrain
+    step on the prefetch thread and the Python DP held the GIL for most of
+    the ~23 ms of planning; selection/tie-breaking are identical (pinned by
+    tests/test_native_pack.py).
+    """
+    from eventpretrain_tpu.native import group_windows_native
+
+    res = group_windows_native(group_size, occupancy)
+    if res is None:
+        return _group_windows_numpy(group_size, occupancy)
+    group_of, num_groups = res
+    grouped_idx = [
+        np.flatnonzero(group_of == g).tolist() for g in range(num_groups)
+    ]
+    occ = np.asarray(occupancy)
+    num_ele_group = [int(occ[idx].sum()) for idx in grouped_idx]
     return num_ele_group, grouped_idx
 
 
@@ -152,34 +174,46 @@ def make_group_plan(
     gid = _window_group_id(coords, window_size, shift_size)
     order = np.argsort(gid, kind="stable")
     gid_sorted = gid[order]
-    _, counts = np.unique(gid_sorted, return_counts=True)
-    counts = counts.tolist()
+    win_vals, counts_arr = np.unique(gid_sorted, return_counts=True)
 
-    num_ele_group, grouped_idx = group_windows(group_size, counts)
+    num_ele_group, grouped_idx = group_windows(
+        group_size, counts_arr.tolist()
+    )
 
-    splits = np.split(order, np.cumsum(counts)[:-1])
-    gid_splits = np.split(gid_sorted, np.cumsum(counts)[:-1])
-    shuffled, gmask = [], []
-    for num_ele, windows in zip(num_ele_group, grouped_idx):
-        pad = group_size - num_ele
-        sidx = np.concatenate([splits[i] for i in windows])
-        shuffled.append(np.pad(sidx, (0, pad), constant_values=-1))
-        gm = np.concatenate([gid_splits[i] for i in windows])
-        gmask.append(np.pad(gm, (0, pad), constant_values=-1))
-
-    num_groups = len(shuffled)
+    # Vectorized group assembly (the per-group concatenate+pad loop was
+    # ~340 np.pad calls/step of planner time): emit every token once,
+    # ordered by (group, window-within-group, token-within-window), then
+    # scatter into the padded (nG, GS) grids.
+    num_groups = len(grouped_idx)
+    rows = num_groups if pad_groups_to is None else pad_groups_to
     if pad_groups_to is not None:
         assert pad_groups_to >= num_groups, (pad_groups_to, num_groups)
-        for _ in range(pad_groups_to - num_groups):
-            shuffled.append(np.full((group_size,), -1, np.int64))
-            gmask.append(np.full((group_size,), -1, np.int64))
+    win_start = np.cumsum(counts_arr) - counts_arr
+    flat_w = np.concatenate(grouped_idx).astype(np.int64)
+    wins_per_group = np.fromiter(
+        (len(g) for g in grouped_idx), np.int64, num_groups
+    )
+    grp_of_win = np.repeat(np.arange(num_groups), wins_per_group)
+    reps = counts_arr[flat_w]
+    tok_start = np.cumsum(reps) - reps
+    src = (
+        np.repeat(win_start[flat_w], reps)
+        + np.arange(int(reps.sum())) - np.repeat(tok_start, reps)
+    )
+    grp = np.repeat(grp_of_win, reps)
+    tok_per_group = np.asarray(num_ele_group, np.int64)
+    grp_start = np.cumsum(tok_per_group) - tok_per_group
+    col = np.arange(len(src)) - np.repeat(grp_start, tok_per_group)
 
-    idx_shuffle = np.concatenate(shuffled)
+    shuffle_grid = np.full((rows, group_size), -1, np.int64)
+    shuffle_grid[grp, col] = order[src]
+    gid_grid = np.full((rows, group_size), -1, np.int64)
+    gid_grid[grp, col] = gid_sorted[src]
+
+    idx_shuffle = shuffle_grid.reshape(-1)
     order_of = np.argsort(idx_shuffle, kind="stable")
     idx_unshuffle = order_of[-int(sum(num_ele_group)):].astype(np.int32)
     idx_shuffle = np.where(idx_shuffle < 0, 0, idx_shuffle).astype(np.int32)
-
-    gid_grid = np.stack(gmask)
     coords_shuffled = coords[idx_shuffle.reshape(-1, group_size)]
     return GroupPlan(
         idx_shuffle=idx_shuffle,

@@ -192,3 +192,44 @@ def augment_pack_event_batch(
         counts.ctypes.data_as(ctypes.c_void_p),
     )
     return out, counts
+
+
+def _bind_group_windows(lib):
+    if getattr(lib, "_group_windows_bound", False):
+        return
+    lib.group_windows_native.argtypes = [
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.group_windows_native.restype = None
+    lib._group_windows_bound = True
+
+
+def group_windows_native(
+    capacity: int, weights: Sequence[int]
+) -> Optional[tuple[np.ndarray, int]]:
+    """Greedy knapsack window grouping (sparse-Swin planner hot loop).
+
+    Returns (group_of (n,) int32, num_groups), or None when the native
+    library is unavailable (caller falls back to the numpy DP). Selection
+    and tie-breaking match models/swin_plan.py::group_windows exactly.
+    """
+    lib = _get_lib()
+    if lib is None or not hasattr(lib, "group_windows_native"):
+        return None
+    _bind_group_windows(lib)
+    w = np.ascontiguousarray(weights, np.int32)
+    n = w.shape[0]
+    group_of = np.empty(n, np.int32)
+    num_groups = ctypes.c_int32(0)
+    lib.group_windows_native(
+        capacity,
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n,
+        group_of.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.byref(num_groups),
+    )
+    return group_of, int(num_groups.value)

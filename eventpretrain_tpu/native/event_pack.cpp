@@ -179,3 +179,71 @@ void augment_and_pack_batch(const float** event_ptrs, const int64_t* starts,
 }
 
 }  // extern "C"
+
+// Greedy knapsack window grouping for the sparse-Swin host planner.
+// Exact port of models/swin_plan.py::knapsack/group_windows (themselves a
+// port of the reference swin_block.py:280-352), moved to C++ because the
+// planner runs every pretrain step on the prefetch thread and the Python
+// DP loop held the GIL for ~14 ms/step. Tie-breaking must match the
+// numpy version bit-for-bit: the backtrack prefers NOT taking item i when
+// table[i-1][w] already attains the value.
+extern "C" {
+
+void group_windows_native(int64_t capacity, const int32_t* weights,
+                          int64_t n, int32_t* group_of,
+                          int32_t* num_groups) {
+  std::vector<int32_t> active(n);
+  for (int64_t i = 0; i < n; ++i) active[i] = static_cast<int32_t>(i);
+  const int64_t w_cols = capacity + 1;
+  std::vector<int64_t> table;  // (m+1) x (capacity+1), row-major
+  std::vector<int32_t> chosen;
+  int32_t group = 0;
+  while (!active.empty()) {
+    const int64_t m = static_cast<int64_t>(active.size());
+    table.assign((m + 1) * w_cols, 0);
+    for (int64_t i = 1; i <= m; ++i) {
+      const int64_t w_i = weights[active[i - 1]];
+      const int64_t* prev = table.data() + (i - 1) * w_cols;
+      int64_t* row = table.data() + i * w_cols;
+      std::copy(prev, prev + w_cols, row);
+      if (w_i <= capacity) {
+        for (int64_t w = capacity; w >= w_i; --w) {
+          const int64_t cand = prev[w - w_i] + w_i;
+          if (cand > row[w]) row[w] = cand;
+        }
+      }
+    }
+    int64_t res = table[m * w_cols + capacity];
+    int64_t w = capacity;
+    chosen.clear();
+    for (int64_t i = m; i >= 1; --i) {
+      if (res <= 0) break;
+      if (res == table[(i - 1) * w_cols + w]) continue;
+      chosen.push_back(static_cast<int32_t>(i - 1));
+      const int64_t w_i = weights[active[i - 1]];
+      res -= w_i;
+      w -= w_i;
+    }
+    if (chosen.empty()) {
+      // cannot happen for valid inputs (every weight <= capacity); guard
+      // against an infinite loop by closing out one window per group
+      chosen.push_back(0);
+    }
+    // chosen holds positions in descending order; membership is what
+    // matters for group_of
+    for (int32_t pos : chosen) group_of[active[pos]] = group;
+    std::vector<int32_t> next;
+    next.reserve(active.size() - chosen.size());
+    for (int64_t i = 0; i < m; ++i) {
+      bool took = false;
+      for (int32_t pos : chosen)
+        if (pos == i) { took = true; break; }
+      if (!took) next.push_back(active[i]);
+    }
+    active.swap(next);
+    ++group;
+  }
+  *num_groups = group;
+}
+
+}  // extern "C"

@@ -90,3 +90,27 @@ def test_augment_pack_batch(rng):
         streams, windows, hws, 16000, seeds=[99] * 6
     )
     assert not np.array_equal(packed, out3[0])
+
+
+def test_group_windows_native_matches_numpy_dp(rng):
+    """The C++ knapsack grouping (swin planner hot loop) must reproduce the
+    Python DP exactly — selection AND tie-breaking (the backtrack prefers
+    not taking an item when the value is already attained)."""
+    from eventpretrain_tpu.models.swin_plan import _group_windows_numpy
+
+    if native.group_windows_native(49, [1, 2, 3]) is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    for _ in range(100):
+        cap = int(rng.integers(1, 60))
+        n = int(rng.integers(1, 90))
+        wt = rng.integers(1, cap + 1, size=n).tolist()
+        expect = _group_windows_numpy(cap, wt)
+        group_of, ng = native.group_windows_native(cap, wt)
+        grouped_idx = [
+            np.flatnonzero(group_of == g).tolist() for g in range(ng)
+        ]
+        occ = np.asarray(wt)
+        num_ele = [int(occ[i].sum()) for i in grouped_idx]
+        assert (num_ele, grouped_idx) == expect
