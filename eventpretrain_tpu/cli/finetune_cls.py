@@ -202,12 +202,18 @@ def main(args=None):
 
     train_src, val_src, extra_vals, sensor_hw = make_sources(args)
     if args.data_parallel and jax.process_count() > 1:
-        from eventpretrain_tpu.parallel import HostShardedSource
+        from eventpretrain_tpu.parallel import (
+            HostShardedSource,
+            local_batch_size,
+        )
 
         train_src = HostShardedSource(train_src)
         val_src = HostShardedSource(val_src)
         extra_vals = {k: HostShardedSource(v)
                       for k, v in extra_vals.items()}
+        local_bs = local_batch_size(args.batch_size)
+    else:
+        local_bs = args.batch_size
     if sensor_hw is not None:
         canvas = sensor_hw
         infer = False
@@ -291,7 +297,7 @@ def main(args=None):
             strict_backbone=not args.lenient_import,
         )
 
-    steps_per_epoch = max(len(train_src) // args.batch_size, 1)
+    steps_per_epoch = max(len(train_src) // local_bs, 1)
     eff_batch = args.batch_size * args.accum_iter
     lr = args.lr if args.lr is not None else args.blr * eff_batch / 256
     schedule = cosine_warmup_schedule(
@@ -342,7 +348,7 @@ def main(args=None):
         mesh = make_mesh()
         ndev = mesh.shape["data"]
         assert args.batch_size % ndev == 0, (
-            f"--batch_size must divide the {ndev}-device mesh")
+            f"--batch_size must be a multiple of the {ndev}-device mesh")
         state = replicate(mesh, state)
         print(f"data-parallel over {ndev} devices")
 
@@ -355,7 +361,7 @@ def main(args=None):
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         pipe = ClsPipeline(
-            train_src, cfg, args.batch_size, train=True,
+            train_src, cfg, local_bs, train=True,
             seed=args.seed + epoch,
         )
         if mesh is not None:
@@ -373,7 +379,7 @@ def main(args=None):
                 print_freq=args.print_freq,
             )
         val_pipe = ClsPipeline(
-            val_src, cfg, args.batch_size, train=False, seed=args.seed
+            val_src, cfg, local_bs, train=False, seed=args.seed
         )
         if mesh is not None:
             from eventpretrain_tpu.parallel import ShardedPipeline
@@ -388,7 +394,7 @@ def main(args=None):
         for name, src in extra_vals.items():
             vm = evaluate(
                 eval_step, state,
-                ClsPipeline(src, cfg, args.batch_size, train=False,
+                ClsPipeline(src, cfg, local_bs, train=False,
                             seed=args.seed),
                 header=f"Val[{name}]:",
             )
@@ -407,12 +413,13 @@ def main(args=None):
 
             from eventpretrain_tpu.viz import save_cls_panel, save_feature_panel
 
-            vb = next(iter(ClsPipeline(val_src, cfg, args.batch_size,
+            vb = next(iter(ClsPipeline(val_src, cfg, local_bs,
                                        train=False, seed=args.seed)))
             evg = vb["evg"]
             if preprocess_fn is not None:
                 evg = preprocess_fn(evg)
-            _, logits, _ = hub.apply({"params": state.params}, evg)
+            # only sample 0 is plotted; don't run the full batch
+            _, logits, _ = hub.apply({"params": state.params}, evg[:1])
             save_cls_panel(
                 f"{args.output_dir}/vis_val", f"epoch_{epoch:03d}.png",
                 _np.asarray(vb["evg"][0], _np.float32),

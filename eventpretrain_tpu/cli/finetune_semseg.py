@@ -178,10 +178,16 @@ def main(args=None):
     np.random.seed(args.seed)
     train_src, val_src, sensor_hw = make_sources(args)
     if args.data_parallel and jax.process_count() > 1:
-        from eventpretrain_tpu.parallel import HostShardedSource
+        from eventpretrain_tpu.parallel import (
+            HostShardedSource,
+            local_batch_size,
+        )
 
         train_src = HostShardedSource(train_src)
         val_src = HostShardedSource(val_src)
+        local_bs = local_batch_size(args.batch_size)
+    else:
+        local_bs = args.batch_size
 
     cfg = DenseDataConfig(
         task="semseg", num_bins=args.num_bins, input_size=args.input_size,
@@ -213,7 +219,7 @@ def main(args=None):
             strict_backbone=not args.lenient_import,
         )
 
-    steps_per_epoch = max(len(train_src) // args.batch_size, 1)
+    steps_per_epoch = max(len(train_src) // local_bs, 1)
     lr = (args.lr if args.lr is not None
           else args.blr * args.batch_size / 256)
     schedule = cosine_warmup_schedule(
@@ -237,7 +243,7 @@ def main(args=None):
         mesh = make_mesh()
         ndev = mesh.shape["data"]
         assert args.batch_size % ndev == 0, (
-            f"--batch_size must divide the {ndev}-device mesh")
+            f"--batch_size must be a multiple of the {ndev}-device mesh")
         state = replicate(mesh, state)
         print(f"data-parallel over {ndev} devices")
     if args.auto_resume and not args.resume:
@@ -273,7 +279,7 @@ def main(args=None):
     key = jax.random.key(args.seed)
     for epoch in range(args.epochs):
         t0 = time.time()
-        pipe = DensePipeline(train_src, cfg, args.batch_size, train=True,
+        pipe = DensePipeline(train_src, cfg, local_bs, train=True,
                              seed=args.seed + epoch)
         if mesh is not None:
             from eventpretrain_tpu.parallel import ShardedPipeline
@@ -286,7 +292,7 @@ def main(args=None):
                 rng_key=jax.random.fold_in(key, epoch), epoch=epoch,
                 print_freq=args.print_freq,
             )
-        val_pipe = DensePipeline(val_src, cfg, args.batch_size, train=False,
+        val_pipe = DensePipeline(val_src, cfg, local_bs, train=False,
                                  seed=args.seed)
         if mesh is not None:
             from eventpretrain_tpu.parallel import ShardedPipeline
@@ -311,7 +317,7 @@ def main(args=None):
             from eventpretrain_tpu.ops.reshape import resize
             from eventpretrain_tpu.viz import save_semseg_panel
 
-            vb = next(iter(DensePipeline(val_src, cfg, args.batch_size,
+            vb = next(iter(DensePipeline(val_src, cfg, local_bs,
                                          train=False, seed=args.seed)))
             variables = {"params": state.params}
             if state.batch_stats:

@@ -225,9 +225,12 @@ def main(args=None):
         source = EFImageNetSource(args.data_root, pr_phase=args.pr_phase)
 
     if args.data_parallel and jax.process_count() > 1:
-        from eventpretrain_tpu.parallel import HostShardedSource
+        from eventpretrain_tpu.parallel import HostShardedSource, local_batch_size
 
         source = HostShardedSource(source)
+        local_bs = local_batch_size(args.batch_size)
+    else:
+        local_bs = args.batch_size
 
     cfg = PretrainDataConfig(
         pr_phase=args.pr_phase, num_bins=args.num_bins,
@@ -353,7 +356,7 @@ def main(args=None):
 
     print(f"model params: {count_params(params):.2f}M")
 
-    steps_per_epoch = max(len(source) // args.batch_size, 1)
+    steps_per_epoch = max(len(source) // local_bs, 1)
     eff_batch = args.batch_size * args.accum_iter
     lr = args.lr if args.lr is not None else args.blr * eff_batch / 256
     schedule = cosine_warmup_schedule(
@@ -488,14 +491,14 @@ def main(args=None):
         if clip_in_loop:
             pipe = ClipEncodingPipeline(
                 RawPretrainPipeline(
-                    source, raw_cfg, args.batch_size, train=True,
+                    source, raw_cfg, local_bs, train=True,
                     seed=args.seed + epoch,
                 ),
                 clip_model, clip_params,
             )
         else:
             pipe = PretrainPipeline(
-                source, cfg, args.batch_size, train=True,
+                source, cfg, local_bs, train=True,
                 seed=args.seed + epoch,
             )
         if mesh is not None:
@@ -527,14 +530,16 @@ def main(args=None):
 
             vb = next(iter(PretrainPipeline(
                 source, cfg, args.batch_size, train=False, seed=args.seed)))
+            # only sample 0 is plotted; don't run the full batch
+            vevg = vb["evg"][:1]
             len_keep = int(num_patches * (1 - args.mask_ratio))
             noise = jax.random.uniform(
                 jax.random.fold_in(key, 10_000 + epoch),
-                (vb["evg"].shape[0], num_patches),
+                (1, num_patches),
             )
             ids_keep, msk, ids_restore = make_mask_from_noise(noise, len_keep)
             pred, emb_l1, emb_l2, emb_lh = hub.apply(
-                {"params": state.params}, vb["evg"], ids_keep, ids_restore,
+                {"params": state.params}, vevg, ids_keep, ids_restore,
                 mask=msk, method=hub.forward_rec,
             )
             pred_frame = emb2frame(patch_size, pred, args.frame_chans)
@@ -572,8 +577,9 @@ def main(args=None):
             variables = {"params": state.params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
+            # only sample 0 is plotted; don't run the full batch
             q, k, emb_h_org, clip_emb_org, attn = hub.apply(
-                variables, vb["evg"], vb["clip_emb"],
+                variables, vb["evg"][:1], vb["clip_emb"][:1],
                 method=hub.forward_con,
             )
             save_con_panel(
@@ -622,9 +628,12 @@ def main_ecdp(args):
     else:
         source = EFImageNetSource(args.data_root, pr_phase="con")
     if args.data_parallel and jax.process_count() > 1:
-        from eventpretrain_tpu.parallel import HostShardedSource
+        from eventpretrain_tpu.parallel import HostShardedSource, local_batch_size
 
         source = HostShardedSource(source)
+        local_bs = local_batch_size(args.batch_size)
+    else:
+        local_bs = args.batch_size
     cfg = PretrainDataConfig(
         pr_phase="ecdp", num_bins=2, input_size=args.input_size,
         crop_min=args.crop_min,
@@ -660,7 +669,7 @@ def main_ecdp(args):
 
     print(f"model params: {count_params(params):.2f}M")
 
-    steps_per_epoch = max(len(source) // args.batch_size, 1)
+    steps_per_epoch = max(len(source) // local_bs, 1)
     lr = (args.lr if args.lr is not None
           else args.blr * args.batch_size / 256)
     schedule = cosine_warmup_schedule(
@@ -708,14 +717,14 @@ def main_ecdp(args):
         mesh = make_mesh()
         ndev = mesh.shape["data"]
         assert args.batch_size % ndev == 0, (
-            f"--batch_size must divide the {ndev}-device mesh")
+            f"--batch_size must be a multiple of the {ndev}-device mesh")
         state = replicate(mesh, state)
         print(f"data-parallel over {ndev} devices")
     key = jax.random.key(args.seed)
     start_epoch = int(state.step) // steps_per_epoch
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
-        pipe = EcdpPretrainPipeline(source, cfg, args.batch_size, train=True,
+        pipe = EcdpPretrainPipeline(source, cfg, local_bs, train=True,
                                     seed=args.seed + epoch)
         if mesh is not None:
             from eventpretrain_tpu.parallel import ShardedPipeline

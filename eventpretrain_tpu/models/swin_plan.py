@@ -174,7 +174,7 @@ def make_group_plan(
     gid = _window_group_id(coords, window_size, shift_size)
     order = np.argsort(gid, kind="stable")
     gid_sorted = gid[order]
-    win_vals, counts_arr = np.unique(gid_sorted, return_counts=True)
+    _, counts_arr = np.unique(gid_sorted, return_counts=True)
 
     num_ele_group, grouped_idx = group_windows(
         group_size, counts_arr.tolist()

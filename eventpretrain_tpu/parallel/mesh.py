@@ -63,7 +63,11 @@ def maybe_initialize_distributed(verbose: bool = True) -> bool:
             process_id=int(pid) if pid is not None else None,
         )
     except RuntimeError as e:
-        if "already" in str(e).lower():
+        # jax 0.9 raises "distributed.initialize should only be called
+        # once." on a repeat call; older versions said "already
+        # initialized" — treat both as the idempotent success path.
+        msg = str(e).lower()
+        if "already" in msg or "only be called once" in msg:
             return True
         raise
     if verbose:
@@ -87,17 +91,64 @@ def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 
 
+def local_batch_size(global_batch_size: int) -> int:
+    """Per-host slice of the global ``--batch_size``.
+
+    Multi-host data parallelism keeps the reference's DistributedSampler
+    semantics (each rank loads 1/world of every global batch,
+    main_pretrain.py:218): each host's pipeline assembles
+    ``global/process_count`` samples and :func:`shard_batch` glues the
+    per-host slices into one global array. Identity on single-host runs.
+    """
+    n = jax.process_count()
+    if n == 1:
+        return global_batch_size
+    assert global_batch_size % n == 0, (
+        f"--batch_size {global_batch_size} must be a multiple of the "
+        f"{n}-host process count"
+    )
+    return global_batch_size // n
+
+
 def shard_batch(mesh: Mesh, batch: Any, axis: str = "data") -> Any:
     """Place a host batch pytree with the leading dim sharded over the mesh.
 
     Scalars and leaves whose leading dim does not divide the mesh (e.g.
     per-batch ``num_valid`` counters) are replicated instead.
+
+    Multi-host: each process passes its LOCAL slice of the batch
+    (``local_batch_size`` rows) and the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — a plain ``device_put``
+    onto a multi-host sharding would instead require (and assert) the same
+    array on every process. A scalar ``num_valid`` tail-batch marker is
+    rewritten to a per-row ``valid_rows`` bool vector first, because each
+    host's pads sit at the end of its own slice, not the end of the global
+    batch (consumed via train.steps._valid_row_mask).
     """
     n = mesh.shape[axis]
     data = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
+    procs = jax.process_count()
+
+    if procs > 1 and isinstance(batch, dict) and "num_valid" in batch:
+        batch = dict(batch)
+        nv = int(batch.pop("num_valid"))
+        rows = next(
+            x.shape[0]
+            for x in jax.tree.leaves(batch)
+            if getattr(x, "ndim", 0) >= 1
+        )
+        batch["valid_rows"] = np.arange(rows) < nv
 
     def put(x):
+        if procs > 1:
+            if getattr(x, "ndim", 0) >= 1 and (x.shape[0] * procs) % n == 0:
+                return jax.make_array_from_process_local_data(
+                    data, np.asarray(x)
+                )
+            # replicated leaves must be identical on every host (jax
+            # asserts it); true for the scalars the pipelines emit
+            return jax.device_put(np.asarray(x), repl)
         shardable = getattr(x, "ndim", 0) >= 1 and x.shape[0] % n == 0
         return jax.device_put(x, data if shardable else repl)
 

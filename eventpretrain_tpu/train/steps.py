@@ -26,6 +26,22 @@ from eventpretrain_tpu.train.optim import global_grad_norm
 from eventpretrain_tpu.train.state import TrainState
 
 
+def _valid_row_mask(batch, n: int):
+    """(n,) bool of real (non-pad) rows, or None when every row is real.
+
+    Pipelines emit either a scalar ``num_valid`` (rows [0, num_valid) are
+    real — the single-host tail-batch convention) or a per-row
+    ``valid_rows`` bool vector (multi-host sharded batches, where each
+    host's pads sit at the end of its own slice of the global array —
+    parallel/mesh.py::shard_batch rewrites the scalar there).
+    """
+    if "valid_rows" in batch:
+        return batch["valid_rows"]
+    if "num_valid" in batch:
+        return jnp.arange(n) < batch["num_valid"]
+    return None
+
+
 def _queue_loss(q, k, queue, temperature, queue_mode, mesh):
     """Dispatch queue InfoNCE by scope.
 
@@ -280,10 +296,9 @@ def make_cls_eval_step(hub, preprocess_fn: Callable | None = None) -> Callable:
         # weight out wrapped tail-batch pads (the reference never pads — its
         # loader just emits a short last batch; static shapes force padding
         # here, so eval metrics weight by the true sample count instead)
-        if "num_valid" in batch:
-            w = (jnp.arange(logits.shape[0]) < batch["num_valid"]).astype(
-                jnp.float32
-            )
+        vmask = _valid_row_mask(batch, logits.shape[0])
+        if vmask is not None:
+            w = vmask.astype(jnp.float32)
         else:
             w = jnp.ones((logits.shape[0],), jnp.float32)
         n = w.sum()
@@ -586,11 +601,9 @@ def make_semseg_eval_step(hub, *, num_classes: int, ignore_label=None,
         label = batch["label"]
         decode = resize(decode, label.shape[1:3], sample_mode)
         pred = jnp.argmax(decode, axis=-1)
-        svalid = None
-        if "num_valid" in batch:
-            svalid = (
-                jnp.arange(pred.shape[0]) < batch["num_valid"]
-            )[:, None, None]
+        svalid = _valid_row_mask(batch, pred.shape[0])
+        if svalid is not None:
+            svalid = svalid[:, None, None]
         return confusion_matrix(pred, label, num_classes, ignore_label,
                                 valid=svalid)
 
@@ -666,10 +679,9 @@ def make_flow_eval_step(hub, *, sample_mode: str = "bilinear",
             ).astype(jnp.float32)[..., None]
             presence = resize(presence, target.shape[1:3], "nearest")[..., 0]
             valid = valid & (presence > 0)
-        if "num_valid" in batch:
-            valid = valid & (
-                jnp.arange(valid.shape[0]) < batch["num_valid"]
-            )[:, None, None]
+        vmask = _valid_row_mask(batch, valid.shape[0])
+        if vmask is not None:
+            valid = valid & vmask[:, None, None]
         w = valid.astype(jnp.float32)
         epe = jnp.sqrt(((decode - target) ** 2).sum(-1))
         mag = jnp.sqrt((target ** 2).sum(-1))

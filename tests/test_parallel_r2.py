@@ -195,6 +195,22 @@ class TestHostSharding:
         assert maybe_initialize_distributed(verbose=False) is True
         assert calls == {"addr": "host0:1234", "num": 4, "pid": 2}
 
+    def test_maybe_initialize_idempotent_on_repeat_call(self, monkeypatch):
+        """jax 0.9's repeat-call error says 'should only be called once.'
+        (not 'already ...'); the helper must treat it as success."""
+        import jax
+
+        from eventpretrain_tpu.parallel import maybe_initialize_distributed
+
+        def raise_once(**kw):
+            raise RuntimeError(
+                "distributed.initialize should only be called once."
+            )
+
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "host0:1234")
+        monkeypatch.setattr(jax.distributed, "initialize", raise_once)
+        assert maybe_initialize_distributed(verbose=False) is True
+
 
 class TestSwinMaskSchedule:
     """Pin the host-RNG swin mask contract (VERDICT item 10 + advisor):
@@ -266,3 +282,79 @@ class TestSwinMaskSchedule:
         # concrete ints are always "ready" -> masker resyncs to truth
         got = np.asarray(m(self._FakeState(1), 2)[2])
         np.testing.assert_array_equal(got, ref[1])
+
+
+class TestMultiHostBatchAssembly:
+    """Multi-host DP: per-host local batches must be glued with
+    make_array_from_process_local_data (a plain device_put onto a
+    multi-host sharding asserts cross-process equality), the scalar
+    num_valid tail marker must become a per-row mask (each host's pads sit
+    at the end of its own slice), and the per-host batch size must be
+    global/process_count so epochs cover the whole dataset."""
+
+    def test_local_batch_size(self, monkeypatch):
+        from eventpretrain_tpu.parallel import local_batch_size
+
+        assert local_batch_size(64) == 64  # single host: identity
+        monkeypatch.setattr(jax, "process_count", lambda: 4)
+        assert local_batch_size(64) == 16
+        with pytest.raises(AssertionError):
+            local_batch_size(30)
+
+    def test_shard_batch_multihost_routing(self, devices, monkeypatch):
+        from eventpretrain_tpu.parallel import mesh as mesh_mod
+
+        mesh = make_mesh(devices)
+        calls = {"local": [], "put": []}
+
+        def fake_from_local(sharding, x):
+            # routing test only: a real multi-host run would glue the 2
+            # hosts' 4-row slices into the global 8-row array
+            calls["local"].append(np.asarray(x).shape)
+            return jnp.asarray(x)
+
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(
+            jax, "make_array_from_process_local_data", fake_from_local
+        )
+        batch = {
+            "evg": np.zeros((4, 8, 8, 5), np.float32),
+            "label": np.zeros((4,), np.int32),
+            "num_valid": jnp.asarray(3, jnp.int32),
+        }
+        out = shard_batch(mesh, batch)
+        # num_valid rewritten to a per-row mask of the LOCAL rows
+        assert "num_valid" not in out
+        np.testing.assert_array_equal(
+            np.asarray(out["valid_rows"]), [True, True, True, False]
+        )
+        # both row-leading leaves + the mask went through the local-data path
+        assert sorted(calls["local"]) == [(4,), (4,), (4, 8, 8, 5)]
+
+    def test_valid_rows_mask_equals_num_valid(self, rng):
+        """Eval steps weight pads identically through either convention."""
+        from eventpretrain_tpu.models.cls_hub import cls_hub_vit_small
+        from eventpretrain_tpu.train import build_optimizer, TrainState
+        from eventpretrain_tpu.train.steps import make_cls_eval_step
+
+        hub = cls_hub_vit_small(
+            num_classes=3, input_size=32, depth=1,
+            out_indices=(0,), masked_taps=(0, 0), dense_taps=(0, 0),
+        )
+        evg = jnp.asarray(rng.normal(size=(4, 32, 32, 5)), jnp.float32)
+        label = jnp.asarray([0, 1, 2, 0], jnp.int32)
+        variables = hub.init(jax.random.key(0), evg[:1])
+        tx = build_optimizer(variables["params"], learning_rate=1e-3)
+        state = TrainState.create(
+            apply_fn=hub.apply, params=variables["params"], tx=tx
+        )
+        step = make_cls_eval_step(hub)
+        m_scalar = step(state, {"evg": evg, "label": label,
+                                "num_valid": jnp.asarray(3, jnp.int32)})
+        m_mask = step(state, {"evg": evg, "label": label,
+                              "valid_rows": jnp.asarray(
+                                  [True, True, True, False])})
+        for k in m_scalar:
+            np.testing.assert_allclose(
+                float(m_scalar[k]), float(m_mask[k]), rtol=1e-6
+            )
