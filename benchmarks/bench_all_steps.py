@@ -44,9 +44,10 @@ def _run(name, step, state, batch, bsz, iters=8, windows=3, out=sys.stderr):
     }
 
 
-def bench_con(use_queue=False):
+def bench_con(use_queue=False, freeze=False):
     from eventpretrain_tpu.models.pretrain_hub import pretrain_hub_base
     from eventpretrain_tpu.objectives import init_queue
+    from eventpretrain_tpu.train.optim import frozen_except_norm_mask
     from eventpretrain_tpu.train.steps import make_con_step
 
     bsz = 128
@@ -57,9 +58,12 @@ def bench_con(use_queue=False):
     variables = jax.jit(
         lambda *a: hub.init(*a, train=True, method=hub.forward_con)
     )(jax.random.key(0), evg[:1], clip[:1])
+    # adj phase: backbone frozen except norm_layer; the step then builds no
+    # trunk backward (train/steps.py::partitioned_value_and_grad)
+    mask = frozen_except_norm_mask(variables["params"]) if freeze else None
     tx = build_optimizer(
         variables["params"], learning_rate=1.5e-4, betas=(0.9, 0.95),
-        num_layers=12,
+        num_layers=12, trainable_mask=mask,
     )
     queue = (
         init_queue(jax.random.key(1), hub.embed_dim, 196, 1024)
@@ -69,9 +73,9 @@ def bench_con(use_queue=False):
         apply_fn=hub.apply, params=variables["params"],
         batch_stats=variables.get("batch_stats"), tx=tx, queue=queue,
     )
-    step = make_con_step(hub, use_queue=use_queue)
-    return _run("con" + ("+q" if use_queue else ""), step, state,
-         {"evg": evg, "clip_emb": clip}, bsz)
+    step = make_con_step(hub, use_queue=use_queue, trainable_mask=mask)
+    name = ("adj" if freeze else "con") + ("+q" if use_queue else "")
+    return _run(name, step, state, {"evg": evg, "clip_emb": clip}, bsz)
 
 
 def bench_rec_con():
@@ -130,6 +134,35 @@ def bench_cls():
     )
     step = make_cls_train_step(hub, smoothing=0.1)
     return _run("cls", step, state, {"evg": evg, "label": label}, bsz)
+
+
+def bench_linprob():
+    from eventpretrain_tpu.models.cls_hub import cls_hub_vit_small
+    from eventpretrain_tpu.train.steps import make_cls_train_step
+
+    bsz = 256
+    hub = cls_hub_vit_small(num_classes=100, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    evg = jnp.asarray(rng.normal(size=(bsz, 224, 224, 5)), jnp.float32)
+    label = jnp.asarray(rng.integers(0, 100, size=(bsz,)), jnp.int32)
+    variables = jax.jit(lambda k, x: hub.init(k, x))(
+        jax.random.key(0), evg[:1]
+    )
+    mask = jax.tree_util.tree_map_with_path(
+        lambda path, _: any(
+            getattr(p, "key", "") == "classify_head" for p in path
+        ),
+        variables["params"],
+    )
+    tx = build_optimizer(
+        variables["params"], learning_rate=1e-3, betas=(0.9, 0.999),
+        num_layers=12, trainable_mask=mask,
+    )
+    state = TrainState.create(
+        apply_fn=hub.apply, params=variables["params"], tx=tx
+    )
+    step = make_cls_train_step(hub, smoothing=0.1, trainable_mask=mask)
+    return _run("linprob", step, state, {"evg": evg, "label": label}, bsz)
 
 
 def bench_semseg():
@@ -261,8 +294,10 @@ ALL = {
     "swin_rec": bench_swin_rec,
     "ecdp": bench_ecdp,
     "con_queue": lambda: bench_con(True),
+    "adj": lambda: bench_con(freeze=True),
     "rec_con": bench_rec_con,
     "cls": bench_cls,
+    "linprob": bench_linprob,
     "semseg": bench_semseg,
     "flow": bench_flow,
 }

@@ -270,6 +270,55 @@ class TestConStep:
         h1 = state.params["emb_h_proj"]["fc0"]["kernel"]
         assert not np.allclose(np.asarray(h0), np.asarray(h1))
 
+    def test_partitioned_grad_matches_masked_optimizer(self):
+        """The adj-phase fast path (trainable_mask on make_con_step: the
+        frozen trunk's backward is never built) must produce the SAME new
+        params as the slow path (full backward + optax.masked set_to_zero).
+        The only intended difference is the grad_norm metric, which drops
+        frozen params — matching torch's norm over p.grad is not None."""
+        hub = tiny_hub(with_decoder=False)
+        rng = np.random.default_rng(1)
+        evg = jnp.asarray(rng.normal(size=(4, 32, 32, 5)), jnp.float32)
+        clip_emb = jnp.asarray(rng.normal(size=(4, 17, 24)), jnp.float32)
+        variables = hub.init(
+            jax.random.key(0), evg, clip_emb, method=hub.forward_con
+        )
+        params0 = variables["params"]
+        mask = frozen_except_norm_mask(params0)
+        batch = {"evg": evg, "clip_emb": clip_emb}
+
+        def run(step):
+            tx = build_optimizer(
+                params0, learning_rate=1e-2, num_layers=4,
+                trainable_mask=mask,
+            )
+            state = TrainState.create(
+                apply_fn=hub.apply,
+                params=jax.tree.map(jnp.copy, params0),
+                batch_stats=jax.tree.map(
+                    jnp.copy, variables["batch_stats"]
+                ),
+                tx=tx,
+            )
+            state, metrics = step(state, batch, jax.random.key(3))
+            return state, metrics
+
+        s_slow, m_slow = run(make_con_step(hub, use_queue=False))
+        s_fast, m_fast = run(
+            make_con_step(hub, use_queue=False, trainable_mask=mask)
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            ),
+            s_slow.params, s_fast.params,
+        )
+        np.testing.assert_allclose(
+            float(m_slow["loss"]), float(m_fast["loss"]), rtol=1e-6
+        )
+        # trainable-only norm is strictly smaller than the full-tree norm
+        assert float(m_fast["grad_norm"]) < float(m_slow["grad_norm"])
+
 
 def test_prefetcher_order_and_errors():
     from eventpretrain_tpu.data.prefetch import Prefetcher
