@@ -9,13 +9,62 @@ and Orbax coordinates multi-host writes itself.
 
 from __future__ import annotations
 
+import atexit
 import os
+import threading
 from typing import Any, Optional
 
 import jax
 import orbax.checkpoint as ocp
 
 from eventpretrain_tpu.train.state import TrainState
+
+_CKPTR: Optional[ocp.StandardCheckpointer] = None
+
+
+def _checkpointer() -> ocp.StandardCheckpointer:
+    """Process-wide async checkpointer.
+
+    ``StandardCheckpointer`` is an AsyncCheckpointer: ``save`` blocks only
+    for the device->host copy and writes to disk on a background thread,
+    so epoch-boundary saves overlap the next epoch's steps (the reference
+    torch.save blocks the loop, misc.py:318-364). A shared instance is
+    kept (instead of the one-save ``with`` block) so the background write
+    survives the call; atexit drains it so process exit can't truncate the
+    final checkpoint (orbax's atomic rename already prevents a *corrupt*
+    one).
+    """
+    global _CKPTR
+    if _CKPTR is None:
+        _CKPTR = ocp.StandardCheckpointer()
+        # CPython finalization runs threading._shutdown (which closes the
+        # default thread-pool executors) BEFORE atexit callbacks, and
+        # orbax's background commit schedules asyncio.to_thread work — an
+        # atexit-registered drain is too late and the commit dies with
+        # "cannot schedule new futures after shutdown". Threading's own
+        # atexit hooks run LIFO at the START of threading._shutdown, ahead
+        # of concurrent.futures' shutdown hook, so register there (private
+        # but stable since 3.9); fall back to plain atexit.
+        drain = _drain_quietly
+        try:
+            threading._register_atexit(drain)
+        except Exception:
+            atexit.register(drain)
+    return _CKPTR
+
+
+def _drain_quietly() -> None:
+    try:
+        if _CKPTR is not None:
+            _CKPTR.wait_until_finished()
+    except Exception:
+        pass  # exit path: never turn a drained-late save into a crash
+
+
+def wait_for_saves() -> None:
+    """Block until all in-flight async checkpoint writes are durable."""
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
 
 
 def _ckpt_dir(output_dir: str) -> str:
@@ -26,9 +75,15 @@ def _ckpt_dir(output_dir: str) -> str:
 
 def save_checkpoint(
     output_dir: str, state: TrainState, *, step: Optional[int] = None,
-    name: Optional[str] = None,
+    name: Optional[str] = None, wait: bool = False,
 ) -> str:
-    """Save the pytree portion of a TrainState; returns the checkpoint path."""
+    """Save the pytree portion of a TrainState; returns the checkpoint path.
+
+    Async by default: returns once the device->host copy is done and the
+    disk write continues in the background (``wait=True`` or
+    :func:`wait_for_saves` blocks until durable; restore always drains
+    pending writes first).
+    """
     step = int(state.step) if step is None else step
     tag = name or str(step)
     path = os.path.join(_ckpt_dir(output_dir), tag)
@@ -44,12 +99,17 @@ def save_checkpoint(
         payload["queue"] = jax.tree.leaves(state.queue)
     if state.ema_params is not None:
         payload["ema_params"] = state.ema_params
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, payload, force=True)
+    ckptr = _checkpointer()
+    ckptr.save(path, payload, force=True)
+    if wait:
+        ckptr.wait_until_finished()
     return path
 
 
 def latest_step(output_dir: str) -> Optional[int]:
+    # orbax materializes the checkpoint dir name only on finalize, so an
+    # in-flight async save is invisible to the scan — drain first
+    wait_for_saves()
     path = _ckpt_dir(output_dir)
     steps = [int(d) for d in os.listdir(path) if d.isdigit()]
     return max(steps) if steps else None
@@ -77,8 +137,10 @@ def restore_checkpoint(
         template["queue"] = jax.tree.leaves(state.queue)
     if state.ema_params is not None:
         template["ema_params"] = state.ema_params
-    with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(path, template)
+    ckptr = _checkpointer()
+    # a just-written checkpoint may still be draining to disk
+    ckptr.wait_until_finished()
+    restored = ckptr.restore(path, template)
     updates = dict(
         step=restored["step"],
         params=restored["params"],

@@ -53,7 +53,11 @@ from eventpretrain_tpu.train.steps import (
 )
 from eventpretrain_tpu.train.loop import train_one_epoch, evaluate
 from eventpretrain_tpu.utils import profiling
-from eventpretrain_tpu.ckpt import save_checkpoint, restore_checkpoint
+from eventpretrain_tpu.ckpt import (
+    save_checkpoint,
+    restore_checkpoint,
+    wait_for_saves,
+)
 from eventpretrain_tpu.ckpt.torch_import import init_backbone_from
 from eventpretrain_tpu.utils.logging import append_log_line, ScalarWriter
 
@@ -460,6 +464,7 @@ def main(args=None):
             best_acc = val_metrics["acc1"]
             save_checkpoint(args.output_dir, state, name="best")
     print(f"best val acc1: {best_acc:.2f}")
+    wait_for_saves()  # drain async checkpoint writes before returning
     return best_acc
 
 

@@ -31,7 +31,11 @@ from eventpretrain_tpu.train.steps import (
     make_flow_eval_step,
 )
 from eventpretrain_tpu.train.loop import train_one_epoch
-from eventpretrain_tpu.ckpt import save_checkpoint, restore_checkpoint
+from eventpretrain_tpu.ckpt import (
+    save_checkpoint,
+    restore_checkpoint,
+    wait_for_saves,
+)
 from eventpretrain_tpu.ckpt.torch_import import init_backbone_from
 from eventpretrain_tpu.utils.logging import append_log_line, ScalarWriter
 
@@ -312,6 +316,7 @@ def main(args=None):
         writer.write({k: v for k, v in record.items() if k != "epoch"}, epoch)
         save_checkpoint(args.output_dir, state)
     print("best AEE per split:", best_aee)
+    wait_for_saves()  # drain async checkpoint writes before returning
     return best_aee
 
 

@@ -50,7 +50,11 @@ from eventpretrain_tpu.eval.metrics import (
     miou_from_confusion,
     macc_from_confusion,
 )
-from eventpretrain_tpu.ckpt import save_checkpoint, restore_checkpoint
+from eventpretrain_tpu.ckpt import (
+    save_checkpoint,
+    restore_checkpoint,
+    wait_for_saves,
+)
 from eventpretrain_tpu.ckpt.torch_import import init_backbone_from
 from eventpretrain_tpu.utils.logging import MetricLogger, append_log_line, ScalarWriter
 
@@ -346,6 +350,7 @@ def main(args=None):
             best_miou = miou
             save_checkpoint(args.output_dir, state, name="best")
     print(f"best mIoU: {best_miou:.2f}")
+    wait_for_saves()  # drain async checkpoint writes before returning
     return best_miou
 
 

@@ -57,7 +57,11 @@ from eventpretrain_tpu.train.steps import (
 from eventpretrain_tpu.train.loop import train_one_epoch
 from eventpretrain_tpu.train.steps import forward_only
 from eventpretrain_tpu.utils import profiling
-from eventpretrain_tpu.ckpt import save_checkpoint, restore_checkpoint
+from eventpretrain_tpu.ckpt import (
+    save_checkpoint,
+    restore_checkpoint,
+    wait_for_saves,
+)
 from eventpretrain_tpu.ckpt.torch_import import load_torch_backbone_if_needed
 from eventpretrain_tpu.utils.logging import append_log_line, ScalarWriter
 
@@ -598,6 +602,7 @@ def main(args=None):
         if (epoch + 1) % args.save_model_freq == 0 or epoch + 1 == args.epochs:
             path = save_checkpoint(args.output_dir, state)
             print(f"saved {path}")
+    wait_for_saves()  # drain async checkpoint writes before returning
     return state
 
 
@@ -758,6 +763,7 @@ def main_ecdp(args):
             )
         if (epoch + 1) % args.save_model_freq == 0 or epoch + 1 == args.epochs:
             print(f"saved {save_checkpoint(args.output_dir, state)}")
+    wait_for_saves()  # drain async checkpoint writes before returning
     return state
 
 
