@@ -130,6 +130,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
     p.add_argument("--print_freq", type=int, default=20)
+    p.add_argument("--num_workers", type=int, default=8,
+                   help="IO threads per pipeline (reference DataLoader "
+                        "num_workers; 0 = load on the pipeline thread)")
     p.add_argument("--val_event_noise", action="store_true")
     p.add_argument("--use_evrepsl", action="store_true",
                    help="EvRep input + frozen EvRepSL preprocessor "
@@ -368,7 +371,7 @@ def main(args=None):
         t0 = time.time()
         pipe = ClsPipeline(
             train_src, cfg, local_bs, train=True,
-            seed=args.seed + epoch,
+            seed=args.seed + epoch, num_workers=args.num_workers,
         )
         if mesh is not None:
             from eventpretrain_tpu.parallel import ShardedPipeline
@@ -385,7 +388,8 @@ def main(args=None):
                 print_freq=args.print_freq,
             )
         val_pipe = ClsPipeline(
-            val_src, cfg, local_bs, train=False, seed=args.seed
+            val_src, cfg, local_bs, train=False, seed=args.seed,
+            num_workers=args.num_workers,
         )
         if mesh is not None:
             from eventpretrain_tpu.parallel import ShardedPipeline

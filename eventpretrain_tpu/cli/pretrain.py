@@ -153,6 +153,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
     p.add_argument("--print_freq", type=int, default=20)
+    p.add_argument("--num_workers", type=int, default=8,
+                   help="IO threads per pipeline (reference DataLoader "
+                        "num_workers; 0 = load on the pipeline thread)")
     p.add_argument("--tensorboard", action="store_true")
     p.add_argument("--forward_only", action="store_true",
                    help="dry run: compute losses without optimizer updates "
@@ -240,6 +243,9 @@ def main(args=None):
         pr_phase=args.pr_phase, num_bins=args.num_bins,
         input_size=args.input_size, crop_min=args.crop_min,
         frame_chans=args.frame_chans,
+        # bf16 models cast the grids at the first conv anyway; transferring
+        # bf16 halves the host->device bytes of the dominant array
+        transfer_dtype="bfloat16" if args.bf16 else "float32",
     )
 
     clip_model = clip_params = None
@@ -499,14 +505,14 @@ def main(args=None):
             pipe = ClipEncodingPipeline(
                 RawPretrainPipeline(
                     source, raw_cfg, local_bs, train=True,
-                    seed=args.seed + epoch,
+                    seed=args.seed + epoch, num_workers=args.num_workers,
                 ),
                 clip_model, clip_params,
             )
         else:
             pipe = PretrainPipeline(
                 source, cfg, local_bs, train=True,
-                seed=args.seed + epoch,
+                seed=args.seed + epoch, num_workers=args.num_workers,
             )
         if mesh is not None:
             from eventpretrain_tpu.parallel import ShardedPipeline
@@ -733,7 +739,8 @@ def main_ecdp(args):
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         pipe = EcdpPretrainPipeline(source, cfg, local_bs, train=True,
-                                    seed=args.seed + epoch)
+                                    seed=args.seed + epoch,
+                                    num_workers=args.num_workers)
         if mesh is not None:
             from eventpretrain_tpu.parallel import ShardedPipeline
 

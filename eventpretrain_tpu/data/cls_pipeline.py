@@ -116,6 +116,7 @@ class ClsPipeline:
         train: bool,
         seed: int = 0,
         drop_last: Optional[bool] = None,
+        num_workers: int = 8,
     ):
         self.source = source
         self.cfg = cfg
@@ -126,6 +127,9 @@ class ClsPipeline:
         self._pack_i = 0
         self._enc_buffers = [None, None]
         self.drop_last = train if drop_last is None else drop_last
+        from eventpretrain_tpu.data.io_pool import make_pool
+
+        self._pool = make_pool(num_workers)
 
     def __len__(self) -> int:
         n = len(self.source)
@@ -139,10 +143,20 @@ class ClsPipeline:
             not self.train and cfg.event_noise
         )
 
-    def _load_sample(self, index: int):
+    def _batch_loads(self, idx):
+        """Fan the rng-free ``source.load`` calls over the IO pool; the
+        random-window draws happen afterwards on this thread in index
+        order, so the rng stream is identical to sequential loading."""
+        from eventpretrain_tpu.data.io_pool import map_loads
+
+        return map_loads(self.source.load, idx, self._pool)
+
+    def _load_sample(self, index: int, loaded=None):
         """Returns (raw float32 stream, (start, end) window, (h, w), label)."""
         cfg = self.cfg
-        events, label = self.source.load(index)
+        events, label = (
+            self.source.load(index) if loaded is None else loaded
+        )
         events = np.ascontiguousarray(events, np.float32)
         cap = cfg.fix_events_num if self.train else cfg.val_fix_events_num
         start, end = random_window(self.rng, events.shape[0], cap)
@@ -157,9 +171,9 @@ class ClsPipeline:
         sensor_w = min(sensor_w, cfg.canvas_width)
         return events, (start, end), (sensor_h, sensor_w), label
 
-    def _prepare_sample(self, index: int):
+    def _prepare_sample(self, index: int, loaded=None):
         """Python fallback path: window + augment one sample."""
-        events, (start, end), hw, label = self._load_sample(index)
+        events, (start, end), hw, label = self._load_sample(index, loaded)
         events = events[start:end].astype(np.float64)
         if self._augmenting():
             events = erase_and_add_events(self.rng, events, hw)
@@ -206,8 +220,10 @@ class ClsPipeline:
                 # fused native augment+pack (single pass, thread-parallel);
                 # numpy per-sample fallback when the library is unavailable
                 streams, windows, hws, labels = [], [], [], []
-                for i in idx:
-                    stream, window, hw, label = self._load_sample(int(i))
+                for i, loaded in zip(idx, self._batch_loads(idx)):
+                    stream, window, hw, label = self._load_sample(
+                        int(i), loaded
+                    )
                     streams.append(stream)
                     windows.append(window)
                     hws.append(hw)
@@ -232,8 +248,8 @@ class ClsPipeline:
                     )
             else:
                 streams, hws, labels = [], [], []
-                for i in idx:
-                    stream, hw, label = self._prepare_sample(int(i))
+                for i, loaded in zip(idx, self._batch_loads(idx)):
+                    stream, hw, label = self._prepare_sample(int(i), loaded)
                     streams.append(stream)
                     hws.append(hw)
                     labels.append(label)

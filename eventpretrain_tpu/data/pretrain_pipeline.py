@@ -45,6 +45,12 @@ class PretrainDataConfig:
     input_size: int = 224
     crop_min: float = 0.8
     frame_chans: int = 1
+    # host->device dtype for the precomputed grids. bf16 halves the PCIe /
+    # relay bytes of the dominant transfer; exact relative to bf16-model
+    # compute (the first conv casts inputs to bf16 anyway, and the nearest
+    # crop/flip augment does no arithmetic). Frames/clip stay f32 (loss
+    # targets, and a fraction of the bytes).
+    transfer_dtype: str = "float32"
 
 
 @functools.partial(jax.jit, static_argnames=("out_size", "negate"))
@@ -69,12 +75,16 @@ class PretrainPipeline:
         batch_size: int,
         train: bool = True,
         seed: int = 0,
+        num_workers: int = 8,
     ):
         self.source = source
         self.cfg = cfg
         self.batch_size = batch_size
         self.train = train
         self.rng = np.random.default_rng(seed)
+        from eventpretrain_tpu.data.io_pool import make_pool
+
+        self._pool = make_pool(num_workers)
 
     def __len__(self) -> int:
         return len(self.source) // self.batch_size
@@ -87,15 +97,22 @@ class PretrainPipeline:
         bs = self.batch_size
         need_frame = cfg.pr_phase in ("rec", "rec+con")
         need_clip = cfg.pr_phase in ("adj", "con", "rec+con")
+        from eventpretrain_tpu.data.io_pool import map_loads
+
+        import ml_dtypes
+
+        tdtype = (
+            ml_dtypes.bfloat16 if cfg.transfer_dtype == "bfloat16"
+            else np.float32
+        )
         for b in range(len(self)):
             idx = order[b * bs : (b + 1) * bs]
             evgs, frames, clips = [], [], []
-            for i in idx:
-                item = self.source.load(int(i))
+            for item in map_loads(self.source.load, idx, self._pool):
                 evg = np.asarray(item["evg"], np.float32)
                 if cfg.num_bins == 1:
                     evg = evg.sum(axis=-1, keepdims=True)
-                evgs.append(evg)
+                evgs.append(evg.astype(tdtype))
                 if need_frame:
                     frames.append(np.asarray(item["frame"], np.float32))
                 if need_clip:
@@ -150,12 +167,19 @@ class EFImageNetSource:
         num_frames: int = 10,
         seed: int = 0,
     ):
+        import threading
+
         self.root = root
         self.pr_phase = pr_phase
         self.noisy_events_dir = noisy_events_dir
         self.sub_frames_dir = sub_frames_dir
         self.num_frames = num_frames
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        # frame choice is derived from (seed, index, visit) so parallel
+        # pool loads stay deterministic regardless of thread interleaving
+        # (a shared np.Generator would make epochs depend on load order)
+        self._visits: dict[int, int] = {}
+        self._visits_lock = threading.Lock()
         self.items: list[tuple[str, str]] = []  # (class_dir, image_name)
         for cls in sorted(os.listdir(root)):
             for image_name in sorted(os.listdir(os.path.join(root, cls))):
@@ -174,7 +198,14 @@ class EFImageNetSource:
     def load(self, index: int) -> dict:
         cls, image_name = self.items[index]
         base = os.path.join(self.root, cls, image_name)
-        frame_index = int(self.rng.integers(0, self.num_frames))
+        with self._visits_lock:
+            visit = self._visits.get(index, 0)
+            self._visits[index] = visit + 1
+        frame_index = int(
+            np.random.default_rng([self.seed, index, visit]).integers(
+                0, self.num_frames
+            )
+        )
         evg = _load_tensor(
             os.path.join(
                 base, self.noisy_events_dir,
@@ -244,12 +275,15 @@ class EcdpPretrainPipeline:
     """
 
     def __init__(self, source, cfg: PretrainDataConfig, batch_size: int,
-                 train: bool = True, seed: int = 0):
+                 train: bool = True, seed: int = 0, num_workers: int = 8):
         self.source = source
         self.cfg = cfg
         self.batch_size = batch_size
         self.train = train
         self.rng = np.random.default_rng(seed)
+        from eventpretrain_tpu.data.io_pool import make_pool
+
+        self._pool = make_pool(num_workers)
 
     def __len__(self):
         return len(self.source) // self.batch_size
@@ -266,10 +300,13 @@ class EcdpPretrainPipeline:
             # stochastic windows give the two views independent event windows
             # (reference pr_ef_imagenet_dataset.py:258-283 calls the loader
             # once per view); clip_emb comes from the q load
+            from eventpretrain_tpu.data.io_pool import map_loads
+
             evgs_qk, clips = ([], []), []
-            for i in idx:
-                for v in range(2):
-                    item = self.source.load(int(i))
+            # one pool round per view: each index appears once per round, so
+            # per-(index, visit) frame draws stay deterministic under threads
+            for v in range(2):
+                for item in map_loads(self.source.load, idx, self._pool):
                     evgs_qk[v].append(np.asarray(item["evg"], np.float32))
                     if v == 0:
                         clip = np.asarray(item["clip_emb"], np.float32)
@@ -401,7 +438,8 @@ class RawPretrainPipeline:
     """
 
     def __init__(self, source, cfg: "RawPretrainDataConfig",
-                 batch_size: int, train: bool = True, seed: int = 0):
+                 batch_size: int, train: bool = True, seed: int = 0,
+                 num_workers: int = 8):
         self.source = source
         self.cfg = cfg
         self.batch_size = batch_size
@@ -410,6 +448,9 @@ class RawPretrainPipeline:
         self._pack_buffers = [None, None]
         self._pack_i = 0
         self._enc_buffers = [None, None]
+        from eventpretrain_tpu.data.io_pool import make_pool
+
+        self._pool = make_pool(num_workers)
 
     def __len__(self) -> int:
         return max(len(self.source) // self.batch_size, 1)
@@ -433,8 +474,11 @@ class RawPretrainPipeline:
         for b in range(len(self)):
             idx = order[b * bs : (b + 1) * bs]
             streams, windows, hws, images = [], [], [], []
-            for i in idx:
-                item = self.source.load(int(i))
+            from eventpretrain_tpu.data.io_pool import map_loads
+
+            # loads (npz decode + JPEG decode) fan over the pool; the
+            # window draws below stay on this thread in index order
+            for item in map_loads(self.source.load, idx, self._pool):
                 ev = np.asarray(item["events"])
                 n = ev.shape[0]
                 if self.train and n > cap:

@@ -76,3 +76,69 @@ def test_frame_sign_couples_to_time_flip():
     pipe = PretrainPipeline(src, cfg, batch_size=4, train=True, seed=7)
     batch = next(iter(pipe))
     assert bool(jnp.isfinite(batch["frame"]).all())
+
+
+def _build_ef_tree(root, n_images=6):
+    torch = pytest.importorskip("torch")
+    cls = "n01440764"
+    for i in range(n_images):
+        img = f"{cls}_{i}"
+        base = root / cls / img
+        (base / "events" / "noisy").mkdir(parents=True)
+        (base / "sub_frames").mkdir(parents=True)
+        for k in range(3):
+            torch.save(
+                torch.randn(5, 32, 32),
+                base / "events" / "noisy"
+                / f"{img}_0{k}_noisy_events_voxel_grid.pt",
+            )
+            torch.save(
+                torch.randn(1, 32, 32),
+                base / "sub_frames" / f"{img}_0{k}_sub_frame.pt",
+            )
+        torch.save(torch.randn(1, 197, 512), base / f"{img}_clip_emb.pt")
+
+
+def test_threaded_loading_is_deterministic(tmp_path):
+    """num_workers must not change the batches: loads are rng-free on the
+    pool, all draws stay on the pipeline thread, and EFImageNetSource's
+    frame choice derives from (seed, index, visit) not thread order."""
+    root = tmp_path / "ef"
+    _build_ef_tree(root)
+
+    def batch(num_workers):
+        src = EFImageNetSource(str(root), pr_phase="rec", num_frames=3)
+        cfg = PretrainDataConfig(pr_phase="rec", input_size=32)
+        pipe = PretrainPipeline(src, cfg, batch_size=4, train=True, seed=7,
+                                num_workers=num_workers)
+        return [np.asarray(b["evg"]) for b in pipe]
+
+    seq, par = batch(0), batch(8)
+    assert len(seq) == len(par) > 0
+    for a, b in zip(seq, par):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_bf16_transfer_dtype(tmp_path):
+    """transfer_dtype='bfloat16' halves host->device bytes; values round
+    to bf16 (<= 2^-8 relative) and the batch arrives as bf16."""
+    root = tmp_path / "ef"
+    _build_ef_tree(root, n_images=4)
+    cfg32 = PretrainDataConfig(pr_phase="rec", input_size=32)
+    cfg16 = PretrainDataConfig(pr_phase="rec", input_size=32,
+                               transfer_dtype="bfloat16")
+
+    def first_batch(cfg):
+        src = EFImageNetSource(str(root), pr_phase="rec", num_frames=3)
+        return next(iter(
+            PretrainPipeline(src, cfg, batch_size=4, train=False, seed=0,
+                             num_workers=0)
+        ))
+
+    b32, b16 = first_batch(cfg32), first_batch(cfg16)
+    assert b16["evg"].dtype == jnp.bfloat16
+    a = np.asarray(b32["evg"], np.float32)
+    b = np.asarray(b16["evg"], np.float32)
+    assert np.abs(a - b).max() <= 2 ** -8 * np.abs(a).max()
+    # frames stay f32: they are reconstruction-loss targets
+    assert b16["frame"].dtype == jnp.float32
