@@ -121,6 +121,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lenient_import", action="store_true",
                    help="allow torch --finetune files that do not cover "
                         "every backbone param (reference strict=False)")
+    p.add_argument("--export_torch", default=None,
+                   help="after training, write the final params as a "
+                        "reference-dialect torch .pth (ckpt/torch_export.py) "
+                        "loadable by the reference's --finetune/eval scripts")
     p.add_argument("--resume", default=None)
     p.add_argument("--auto_resume", action="store_true",
                    help="resume from the latest checkpoint in output_dir if "
@@ -468,6 +472,10 @@ def main(args=None):
             best_acc = val_metrics["acc1"]
             save_checkpoint(args.output_dir, state, name="best")
     print(f"best val acc1: {best_acc:.2f}")
+    if args.export_torch:
+        from eventpretrain_tpu.ckpt.torch_export import save_torch_checkpoint
+
+        print(f"exported {save_torch_checkpoint(args.export_torch, state.params, batch_stats=getattr(state, 'batch_stats', None), epoch=args.epochs)}")
     wait_for_saves()  # drain async checkpoint writes before returning
     return best_acc
 

@@ -87,6 +87,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lenient_import", action="store_true",
                    help="allow torch --finetune files that do not cover "
                         "every backbone param (reference strict=False)")
+    p.add_argument("--export_torch", default=None,
+                   help="after training, write the final params (incl. BN "
+                        "running stats) as a reference-dialect torch .pth "
+                        "(ckpt/torch_export.py)")
     p.add_argument("--resume", default=None)
     p.add_argument("--auto_resume", action="store_true",
                    help="resume from the latest checkpoint in output_dir if "
@@ -316,6 +320,10 @@ def main(args=None):
         writer.write({k: v for k, v in record.items() if k != "epoch"}, epoch)
         save_checkpoint(args.output_dir, state)
     print("best AEE per split:", best_aee)
+    if args.export_torch:
+        from eventpretrain_tpu.ckpt.torch_export import save_torch_checkpoint
+
+        print(f"exported {save_torch_checkpoint(args.export_torch, state.params, batch_stats=getattr(state, 'batch_stats', None), epoch=args.epochs)}")
     wait_for_saves()  # drain async checkpoint writes before returning
     return best_aee
 

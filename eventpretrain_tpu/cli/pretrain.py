@@ -143,6 +143,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--crop_min", type=float, default=0.8)
     p.add_argument("--init_from", default=None,
                    help="stage chaining: checkpoint (orbax dir or torch .pth)")
+    p.add_argument("--export_torch", default=None,
+                   help="after training, write the final params as a "
+                        "reference-dialect torch .pth (ckpt/torch_export.py); "
+                        "the reference's --finetune checkpoint surgery "
+                        "(main_finetune_cls.py:326-381) picks up backbone.*")
     p.add_argument("--resume", default=None)
     p.add_argument("--auto_resume", action="store_true",
                    help="resume from the latest checkpoint in output_dir if "
@@ -608,6 +613,10 @@ def main(args=None):
         if (epoch + 1) % args.save_model_freq == 0 or epoch + 1 == args.epochs:
             path = save_checkpoint(args.output_dir, state)
             print(f"saved {path}")
+    if args.export_torch:
+        from eventpretrain_tpu.ckpt.torch_export import save_torch_checkpoint
+
+        print(f"exported {save_torch_checkpoint(args.export_torch, state.params, batch_stats=getattr(state, 'batch_stats', None), epoch=args.epochs)}")
     wait_for_saves()  # drain async checkpoint writes before returning
     return state
 
@@ -770,6 +779,10 @@ def main_ecdp(args):
             )
         if (epoch + 1) % args.save_model_freq == 0 or epoch + 1 == args.epochs:
             print(f"saved {save_checkpoint(args.output_dir, state)}")
+    if args.export_torch:
+        from eventpretrain_tpu.ckpt.torch_export import save_torch_checkpoint
+
+        print(f"exported {save_torch_checkpoint(args.export_torch, state.params, batch_stats=getattr(state, 'batch_stats', None), epoch=args.epochs)}")
     wait_for_saves()  # drain async checkpoint writes before returning
     return state
 
