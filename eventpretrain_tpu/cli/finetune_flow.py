@@ -320,7 +320,7 @@ def main(args=None):
         writer.write({k: v for k, v in record.items() if k != "epoch"}, epoch)
         save_checkpoint(args.output_dir, state)
     print("best AEE per split:", best_aee)
-    if args.export_torch:
+    if args.export_torch and jax.process_index() == 0:
         from eventpretrain_tpu.ckpt.torch_export import save_torch_checkpoint
 
         print(f"exported {save_torch_checkpoint(args.export_torch, state.params, batch_stats=getattr(state, 'batch_stats', None), epoch=args.epochs)}")

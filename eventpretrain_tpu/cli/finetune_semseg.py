@@ -354,7 +354,7 @@ def main(args=None):
             best_miou = miou
             save_checkpoint(args.output_dir, state, name="best")
     print(f"best mIoU: {best_miou:.2f}")
-    if args.export_torch:
+    if args.export_torch and jax.process_index() == 0:
         from eventpretrain_tpu.ckpt.torch_export import save_torch_checkpoint
 
         print(f"exported {save_torch_checkpoint(args.export_torch, state.params, batch_stats=getattr(state, 'batch_stats', None), epoch=args.epochs)}")

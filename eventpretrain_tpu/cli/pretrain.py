@@ -546,74 +546,80 @@ def main(args=None):
             from eventpretrain_tpu.ops.reshape import emb2frame
             from eventpretrain_tpu.viz import save_reconstruction_panel
 
+            # only sample 0 is plotted; load a batch of 1, not the global batch
             vb = next(iter(PretrainPipeline(
-                source, cfg, args.batch_size, train=False, seed=args.seed)))
-            # only sample 0 is plotted; don't run the full batch
-            vevg = vb["evg"][:1]
-            len_keep = int(num_patches * (1 - args.mask_ratio))
-            noise = jax.random.uniform(
-                jax.random.fold_in(key, 10_000 + epoch),
-                (1, num_patches),
-            )
-            ids_keep, msk, ids_restore = make_mask_from_noise(noise, len_keep)
-            pred, emb_l1, emb_l2, emb_lh = hub.apply(
-                {"params": state.params}, vevg, ids_keep, ids_restore,
-                mask=msk, method=hub.forward_rec,
-            )
-            pred_frame = emb2frame(patch_size, pred, args.frame_chans)
-            save_reconstruction_panel(
-                f"{args.output_dir}/vis_train", f"epoch_{epoch:03d}.png",
-                _np.asarray(vb["evg"][0], _np.float32),
-                _np.asarray(vb["frame"][0], _np.float32),
-                _np.asarray(pred_frame[0], _np.float32),
-                mask=_np.asarray(msk[0], _np.float32),
-                patch_size=patch_size,
-                taps={
-                    "emb_l1": _np.asarray(emb_l1[0], _np.float32),
-                    "emb_l2": _np.asarray(emb_l2[0], _np.float32),
-                    "emb_l_h": _np.asarray(emb_lh[0], _np.float32),
-                },
-                ids_restore=_np.asarray(ids_restore[0]),
-                title=f"epoch {epoch + 1}",
-            )
+                source, cfg, 1, train=False, seed=args.seed,
+                num_workers=args.num_workers)), None)
+            # a sharded source may hold no local samples: skip the panel only
+            if vb is not None:
+                vevg = vb["evg"][:1]
+                len_keep = int(num_patches * (1 - args.mask_ratio))
+                noise = jax.random.uniform(
+                    jax.random.fold_in(key, 10_000 + epoch),
+                    (1, num_patches),
+                )
+                ids_keep, msk, ids_restore = make_mask_from_noise(
+                    noise, len_keep)
+                pred, emb_l1, emb_l2, emb_lh = hub.apply(
+                    {"params": state.params}, vevg, ids_keep, ids_restore,
+                    mask=msk, method=hub.forward_rec,
+                )
+                pred_frame = emb2frame(patch_size, pred, args.frame_chans)
+                save_reconstruction_panel(
+                    f"{args.output_dir}/vis_train", f"epoch_{epoch:03d}.png",
+                    _np.asarray(vb["evg"][0], _np.float32),
+                    _np.asarray(vb["frame"][0], _np.float32),
+                    _np.asarray(pred_frame[0], _np.float32),
+                    mask=_np.asarray(msk[0], _np.float32),
+                    patch_size=patch_size,
+                    taps={
+                        "emb_l1": _np.asarray(emb_l1[0], _np.float32),
+                        "emb_l2": _np.asarray(emb_l2[0], _np.float32),
+                        "emb_l_h": _np.asarray(emb_lh[0], _np.float32),
+                    },
+                    ids_restore=_np.asarray(ids_restore[0]),
+                    title=f"epoch {epoch + 1}",
+                )
         elif args.visualize and args.pr_phase in ("adj", "con"):
             # contrastive panel (reference vis_pr_con, pr_visualize.py:320)
             import numpy as _np
 
             from eventpretrain_tpu.viz import save_con_panel
 
+            # only sample 0 is plotted; load a batch of 1, not the global batch
             if clip_in_loop:
                 vpipe = ClipEncodingPipeline(
-                    RawPretrainPipeline(source, raw_cfg, args.batch_size,
+                    RawPretrainPipeline(source, raw_cfg, 1,
                                         train=False, seed=args.seed),
                     clip_model, clip_params,
                 )
             else:
-                vpipe = PretrainPipeline(source, cfg, args.batch_size,
-                                         train=False, seed=args.seed)
-            vb = next(iter(vpipe))
-            variables = {"params": state.params}
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
-            # only sample 0 is plotted; don't run the full batch
-            q, k, emb_h_org, clip_emb_org, attn = hub.apply(
-                variables, vb["evg"][:1], vb["clip_emb"][:1],
-                method=hub.forward_con,
-            )
-            save_con_panel(
-                f"{args.output_dir}/vis_train", f"epoch_{epoch:03d}.png",
-                _np.asarray(vb["evg"][0], _np.float32),
-                _np.asarray(emb_h_org[0], _np.float32),
-                _np.asarray(q[0], _np.float32),
-                _np.asarray(clip_emb_org[0], _np.float32),
-                _np.asarray(k[0], _np.float32),
-                attn=None if attn is None else _np.asarray(
-                    attn[0], _np.float32),
-            )
+                vpipe = PretrainPipeline(source, cfg, 1,
+                                         train=False, seed=args.seed,
+                                         num_workers=args.num_workers)
+            vb = next(iter(vpipe), None)
+            if vb is not None:
+                variables = {"params": state.params}
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                q, k, emb_h_org, clip_emb_org, attn = hub.apply(
+                    variables, vb["evg"][:1], vb["clip_emb"][:1],
+                    method=hub.forward_con,
+                )
+                save_con_panel(
+                    f"{args.output_dir}/vis_train", f"epoch_{epoch:03d}.png",
+                    _np.asarray(vb["evg"][0], _np.float32),
+                    _np.asarray(emb_h_org[0], _np.float32),
+                    _np.asarray(q[0], _np.float32),
+                    _np.asarray(clip_emb_org[0], _np.float32),
+                    _np.asarray(k[0], _np.float32),
+                    attn=None if attn is None else _np.asarray(
+                        attn[0], _np.float32),
+                )
         if (epoch + 1) % args.save_model_freq == 0 or epoch + 1 == args.epochs:
             path = save_checkpoint(args.output_dir, state)
             print(f"saved {path}")
-    if args.export_torch:
+    if args.export_torch and jax.process_index() == 0:
         from eventpretrain_tpu.ckpt.torch_export import save_torch_checkpoint
 
         print(f"exported {save_torch_checkpoint(args.export_torch, state.params, batch_stats=getattr(state, 'batch_stats', None), epoch=args.epochs)}")
@@ -779,7 +785,7 @@ def main_ecdp(args):
             )
         if (epoch + 1) % args.save_model_freq == 0 or epoch + 1 == args.epochs:
             print(f"saved {save_checkpoint(args.output_dir, state)}")
-    if args.export_torch:
+    if args.export_torch and jax.process_index() == 0:
         from eventpretrain_tpu.ckpt.torch_export import save_torch_checkpoint
 
         print(f"exported {save_torch_checkpoint(args.export_torch, state.params, batch_stats=getattr(state, 'batch_stats', None), epoch=args.epochs)}")

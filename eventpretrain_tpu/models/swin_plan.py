@@ -97,6 +97,12 @@ def group_windows(group_size: int, occupancy: list[int]):
     """
     from eventpretrain_tpu.native import group_windows_native
 
+    if len(occupancy) and max(occupancy) > group_size:
+        # The numpy DP would spin forever and the C++ DP silently closes a
+        # group per oversized window; fail loudly and identically instead.
+        raise ValueError(
+            f"window occupancy {max(occupancy)} exceeds group capacity "
+            f"{group_size}")
     res = group_windows_native(group_size, occupancy)
     if res is None:
         return _group_windows_numpy(group_size, occupancy)
