@@ -102,6 +102,70 @@ def identity_view_params(batch: int, height: int, width: int) -> ViewParams:
     )
 
 
+def _cubic_w(frac: jax.Array, a: float = -0.75) -> jax.Array:
+    """4-tap cubic-convolution weights for fractional offsets ``frac`` (N,).
+
+    Torch's bicubic kernel (a = -0.75, upsample_bicubic2d): taps at
+    floor(src)-1 .. floor(src)+2.
+    """
+    def cc1(x):  # |x| <= 1
+        return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0
+
+    def cc2(x):  # 1 < |x| < 2
+        return ((a * x - 5.0 * a) * x + 8.0 * a) * x - 4.0 * a
+
+    return jnp.stack(
+        [cc2(frac + 1.0), cc1(frac), cc1(1.0 - frac), cc2(2.0 - frac)],
+        axis=-1,
+    )
+
+
+def _resample_weights(
+    crop0: jax.Array, crop_len: jax.Array, out_len: int, full_len: int,
+    mode: str,
+) -> jax.Array:
+    """(out_len, full_len) torch-convention resampling matrix for one axis.
+
+    Value-exact with ``F.interpolate(view[crop], mode=mode)`` (reference
+    utils/reshape.py:40-43 used by view_augment.py:35-39): source positions
+    are computed inside the crop window and every tap index is clamped to the
+    crop — cropping *then* resizing replicates crop borders, never reads the
+    surrounding canvas. Conventions per mode (torch upsample kernels):
+      nearest : src = floor(i * crop/out)           (asymmetric, floor)
+      bilinear: src = max((i+0.5) * crop/out - .5, 0), 2 taps i0, i0+1
+      bicubic : src = (i+0.5) * crop/out - .5 (unclamped), 4 taps, a=-0.75
+    Expressed as a dense weight matrix so a batched crop+resize is one
+    (out, H) x (H, W, C) contraction per axis — MXU work instead of gathers.
+    """
+    i = jnp.arange(out_len, dtype=jnp.float32)
+    crop0 = jnp.asarray(crop0, jnp.int32)
+    crop_len = jnp.asarray(crop_len, jnp.int32)
+    crop_f = crop_len.astype(jnp.float32)
+    cols = jnp.arange(full_len)
+    if mode == "nearest":
+        # integer rational floor: exact where double rounding could flip
+        src = (jnp.arange(out_len) * crop_len) // out_len
+        src = jnp.clip(src, 0, crop_len - 1) + crop0
+        return (src[:, None] == cols[None, :]).astype(jnp.float32)
+    src = (i + 0.5) * crop_f / out_len - 0.5
+    if mode == "bilinear":
+        src = jnp.maximum(src, 0.0)
+        i0 = jnp.floor(src)
+        frac = src - i0
+        taps = i0.astype(jnp.int32)[:, None] + jnp.arange(2)
+        weights = jnp.stack([1.0 - frac, frac], axis=-1)
+    elif mode == "bicubic":
+        i0 = jnp.floor(src)
+        frac = src - i0
+        taps = i0.astype(jnp.int32)[:, None] + jnp.arange(-1, 3)
+        weights = _cubic_w(frac)
+    else:
+        raise ValueError(f"unknown resize mode: {mode}")
+    taps = jnp.clip(taps, 0, crop_len - 1) + crop0  # replicate crop borders
+    onehot = (taps[:, :, None] == cols[None, None, :]).astype(jnp.float32)
+    return jnp.einsum("ok,okj->oj", weights, onehot)
+
+
 def _crop_resize_one(
     view: jax.Array,
     crop_y: jax.Array,
@@ -112,26 +176,21 @@ def _crop_resize_one(
     out_w: int,
     mode: str,
 ) -> jax.Array:
-    """Fused crop+resize of one (H, W, C) view to (out_h, out_w, C)."""
-    if mode == "nearest":
-        # half-pixel nearest: src = floor((i + 0.5) * crop / out) + crop0
-        ys = crop_y + ((jnp.arange(out_h) + 0.5) * crop_h / out_h).astype(jnp.int32)
-        xs = crop_x + ((jnp.arange(out_w) + 0.5) * crop_w / out_w).astype(jnp.int32)
-        ys = jnp.clip(ys, 0, view.shape[0] - 1)
-        xs = jnp.clip(xs, 0, view.shape[1] - 1)
-        return view[ys][:, xs]
-    method = {"bilinear": "linear", "bicubic": "cubic"}[mode]
-    scale = jnp.array([out_h / crop_h, out_w / crop_w], jnp.float32)
-    translation = -jnp.array([crop_y, crop_x], jnp.float32) * scale
-    return jax.image.scale_and_translate(
-        view,
-        (out_h, out_w, view.shape[-1]),
-        (0, 1),
-        scale,
-        translation,
-        method=method,
-        antialias=False,
+    """Fused crop+resize of one (H, W, C) view to (out_h, out_w, C).
+
+    Torch-exact (see _resample_weights); two dense contractions over the
+    static canvas axes, so crops of any dynamic size compile to one fixed
+    XLA program.
+    """
+    w_y = _resample_weights(crop_y, crop_h, out_h, view.shape[0], mode)
+    w_x = _resample_weights(crop_x, crop_w, out_w, view.shape[1], mode)
+    out = jnp.einsum(
+        "oh,hwc,pw->opc", w_y, view.astype(jnp.float32), w_x,
+        optimize=True,
     )
+    if jnp.issubdtype(view.dtype, jnp.integer):
+        return jnp.round(out).astype(view.dtype)  # nearest: exact one-hots
+    return out.astype(view.dtype)
 
 
 def apply_view_augment(
