@@ -204,6 +204,11 @@ class ClsPipeline:
     def __iter__(self) -> Iterator[dict]:
         cfg = self.cfg
         cap = cfg.fix_events_num if self.train else cfg.val_fix_events_num
+        if self._augmenting():
+            # erase_and_add can GROW a full window by up to int(0.01 * n)
+            # events (reference events_augment.py:38-52 keeps them all);
+            # give the packed capacity that headroom so no events are clipped
+            cap = cap + max(cap // 100, 1)
         order = np.arange(len(self.source))
         if self.train:
             self.rng.shuffle(order)

@@ -128,6 +128,10 @@ class DensePipeline:
             self.rng.shuffle(order)
         bs = self.batch_size
         cap = cfg.fix_events_num if self.train else cfg.val_fix_events_num
+        if self.train and cfg.stream_augment:
+            # headroom for erase_and_add growth (up to int(0.01 * n) added
+            # events, reference events_augment.py:38-52 keeps them all)
+            cap = cap + max(cap // 100, 1)
         label_hw = cfg.label_size or (cfg.input_size, cfg.input_size)
         for b in range(len(self)):
             idx = order[b * bs : (b + 1) * bs]

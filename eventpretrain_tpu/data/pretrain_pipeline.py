@@ -166,6 +166,7 @@ class EFImageNetSource:
         sub_frames_dir: str = "sub_frames",
         num_frames: int = 10,
         seed: int = 0,
+        fixed_frame: Optional[int] = None,
     ):
         import threading
 
@@ -175,6 +176,9 @@ class EFImageNetSource:
         self.sub_frames_dir = sub_frames_dir
         self.num_frames = num_frames
         self.seed = seed
+        # pin the frame index (reference PretrainEFImageNetTestDataset uses
+        # frame 7, pr_ef_imagenet_dataset.py:300-303); None = random per visit
+        self.fixed_frame = fixed_frame
         # frame choice is derived from (seed, index, visit) so parallel
         # pool loads stay deterministic regardless of thread interleaving
         # (a shared np.Generator would make epochs depend on load order)
@@ -198,14 +202,17 @@ class EFImageNetSource:
     def load(self, index: int) -> dict:
         cls, image_name = self.items[index]
         base = os.path.join(self.root, cls, image_name)
-        with self._visits_lock:
-            visit = self._visits.get(index, 0)
-            self._visits[index] = visit + 1
-        frame_index = int(
-            np.random.default_rng([self.seed, index, visit]).integers(
-                0, self.num_frames
+        if self.fixed_frame is not None:
+            frame_index = int(self.fixed_frame)
+        else:
+            with self._visits_lock:
+                visit = self._visits.get(index, 0)
+                self._visits[index] = visit + 1
+            frame_index = int(
+                np.random.default_rng([self.seed, index, visit]).integers(
+                    0, self.num_frames
+                )
             )
-        )
         evg = _load_tensor(
             os.path.join(
                 base, self.noisy_events_dir,

@@ -535,3 +535,290 @@ def test_flow_valid_augment_vs_reference(seed):
     np.testing.assert_array_equal(
         np.asarray(ours[0]).astype(np.float32), ref[0]
     )
+
+
+# ---------------------------------------------------------------------------
+# (b) sample-level dataset A/B: our pipelines vs the reference Datasets on
+#     the same fixture trees (reference ft_n_cars_dataset.py:54-107,
+#     pr_ef_imagenet_dataset.py:184-240)
+# ---------------------------------------------------------------------------
+
+
+class PipelineCoupledRng:
+    """Routes ClsPipeline's per-sample draw sequence onto the reference
+    __getitem__'s global-np.random sequence (batch_size=1, python augment
+    fallback): window randint -> erase/add script -> crop/flip draws.
+
+    The pipeline's native-augment seed draw (``integers(0, 2**63, B)``) is
+    answered without consuming the stream — the native path is disabled in
+    coupled runs and the reference has no counterpart draw.
+    """
+
+    def __init__(self, n_window: int):
+        self.n = n_window
+        self.phase = "window"
+        self.script: EraseAddScriptRng | None = None
+
+    def shuffle(self, a):
+        assert len(a) == 1, "coupled runs use a single-sample source"
+
+    def integers(self, low, high=None, size=None):
+        if high is not None and high == 2 ** 63:
+            return np.zeros(size or 1, np.uint64)
+        if self.phase == "window":
+            self.phase = "erase"
+            return np.random.randint(low, high, size)
+        if self.phase == "erase":
+            if self.script is None:
+                self.script = EraseAddScriptRng(self.n)
+                return self.script.erase_num
+            return self.script.add_num
+        return np.random.randint(low, high, size)
+
+    def choice(self, a, size=None, replace=True, shuffle=True):
+        return self.script.choice(a, size=size, replace=replace)
+
+    def normal(self, loc, scale, size=None):
+        out = self.script.normal(loc, scale, size)
+        if self.script._normal_calls == 3:
+            self.phase = "view"
+        return out
+
+    def uniform(self, low, high, size=None):
+        return np.random.uniform(low, high, size)
+
+    def random(self, size=None):
+        return np.random.random(size)
+
+
+def build_ncars_tree(root, rng, n_per_class=2, n_events=4000,
+                     classes=("aa", "bb")):
+    """Reference N-Cars layout: root/<class>/<class>_<i>.npy xytp arrays."""
+    import os
+
+    for cls in classes:
+        d = os.path.join(root, cls)
+        os.makedirs(d)
+        for i in range(n_per_class):
+            ev = make_stream(
+                np.random.default_rng(hash((cls, i)) % 2 ** 31),
+                n_events, w=120, h=100,
+            )
+            np.save(os.path.join(d, f"{cls}_{i}.npy"), ev)
+
+
+def ncars_args(root, num_bins, input_size=48, fix=3000, val_fix=40000):
+    return ref_args(
+        num_bins=num_bins, num_classes=2, input_size=input_size,
+        fix_events_num=fix, val_fix_events_num=val_fix,
+        val_event_noise=False, resize_mode="bilinear", crop_min=0.8,
+        n_cars_train_root=str(root), n_cars_val_root=str(root),
+    )
+
+
+def our_cls_cfg(num_bins, input_size=48, fix=3000, val_fix=40000):
+    from eventpretrain_tpu.data.cls_pipeline import ClsDataConfig
+
+    return ClsDataConfig(
+        num_classes=2, num_bins=num_bins, input_size=input_size,
+        fix_events_num=fix, val_fix_events_num=val_fix,
+        canvas_height=128, canvas_width=128, resize_mode="bilinear",
+        compact_transfer=False,
+    )
+
+
+@pytest.mark.parametrize("num_bins", [5, 2, 3])
+def test_ncars_val_samples_vs_reference(tmp_path, num_bins):
+    """Validation path, end to end: reference FinetuneNCarsDataset
+    (ft_n_cars_dataset.py:54-107, is_train=False) vs NCarsSource+ClsPipeline
+    on the same tree. Deterministic (streams < val_fix_events_num), so the
+    full load -> representation -> resize -> normalize chain must agree for
+    every representation (voxel / ECDP / MEM+hot-pixel)."""
+    from dataset.finetune_cls.ft_n_cars_dataset import FinetuneNCarsDataset
+
+    from eventpretrain_tpu.data.cls_pipeline import ClsPipeline, NCarsSource
+
+    rng = np.random.default_rng(0)
+    build_ncars_tree(str(tmp_path), rng)
+    ref_ds = FinetuneNCarsDataset(ncars_args(tmp_path, num_bins),
+                                  is_train=False)
+    pipe = ClsPipeline(
+        NCarsSource(str(tmp_path)), our_cls_cfg(num_bins),
+        batch_size=1, train=False, seed=0, num_workers=0,
+    )
+    n = 0
+    for i, batch in enumerate(iter(pipe)):
+        ref_item = ref_ds[i]
+        np.testing.assert_allclose(
+            np.asarray(batch["evg"][0]).transpose(2, 0, 1),
+            np.asarray(ref_item["events_voxel_grid"]),
+            atol=1e-4, rtol=1e-4,
+            err_msg=f"sample {i} ({ref_item['image_name']})",
+        )
+        assert int(batch["label"][0]) == int(ref_item["label"])
+        n += 1
+    assert n == len(ref_ds) == 4
+
+
+@pytest.mark.parametrize("num_bins", [5, 2])
+@pytest.mark.parametrize("seed", [0, 3, 11])
+def test_ncars_train_sample_vs_reference(tmp_path, monkeypatch, num_bins,
+                                         seed):
+    """Training path with coupled draws: window -> erase_and_add ->
+    representation -> crop/resize/flip/time-flip -> normalize, the whole
+    reference __getitem__ (ft_n_cars_dataset.py:54-107, is_train=True) vs
+    our pipeline consuming the same np.random stream."""
+    import os
+
+    from dataset.finetune_cls.ft_n_cars_dataset import FinetuneNCarsDataset
+
+    from eventpretrain_tpu.data import cls_pipeline as clp
+
+    # single-sample tree so batch assembly adds no extra draws
+    d = os.path.join(str(tmp_path), "aa")
+    os.makedirs(d)
+    ev = make_stream(np.random.default_rng(77), 4000, w=120, h=100)
+    np.save(os.path.join(d, "aa_0.npy"), ev)
+
+    args = ncars_args(tmp_path, num_bins)
+    args.num_classes = 1
+    np.random.seed(seed)
+    ref_item = FinetuneNCarsDataset(args, is_train=True)[0]
+
+    cfg = our_cls_cfg(num_bins)
+    cfg = cfg.__class__(**{**cfg.__dict__, "num_classes": 1})
+    monkeypatch.setattr(clp, "augment_pack_event_batch",
+                        lambda *a, **k: None)
+    pipe = clp.ClsPipeline(
+        clp.NCarsSource(str(tmp_path)), cfg, batch_size=1, train=True,
+        seed=0, num_workers=0,
+    )
+    np.random.seed(seed)
+    pipe.rng = PipelineCoupledRng(cfg.fix_events_num)
+    batch = next(iter(pipe))
+    np.testing.assert_allclose(
+        np.asarray(batch["evg"][0]).transpose(2, 0, 1),
+        np.asarray(ref_item["events_voxel_grid"]),
+        atol=1e-4, rtol=1e-4,
+    )
+
+
+def build_ef_tree(root, rng, image_names=("n01_0001",), hw=(57, 73),
+                  identical_frames=False):
+    """Reference EF-ImageNet layout (pr_ef_imagenet_dataset.py:147-182)."""
+    import os
+
+    for image_name in image_names:
+        cls = image_name.split("_")[0]
+        base = os.path.join(root, cls, image_name)
+        os.makedirs(os.path.join(base, "events", "noisy"))
+        os.makedirs(os.path.join(base, "sub_frames"))
+        for k in range(10):
+            g = rng.standard_normal((5, *hw)).astype(np.float32) \
+                if (k == 0 or not identical_frames) else g  # noqa: F821
+            torch.save(
+                torch.from_numpy(g.copy()),
+                os.path.join(base, "events", "noisy",
+                             f"{image_name}_0{k}_noisy_events_voxel_grid.pt"),
+            )
+            f = rng.standard_normal((1, *hw)).astype(np.float32) \
+                if (k == 0 or not identical_frames) else f  # noqa: F821
+            torch.save(
+                torch.from_numpy(f.copy()),
+                os.path.join(base, "sub_frames",
+                             f"{image_name}_0{k}_sub_frame.pt"),
+            )
+        clip = rng.standard_normal((197, 512)).astype(np.float32)
+        torch.save(torch.from_numpy(clip),
+                   os.path.join(base, f"{image_name}_clip_emb.pt"))
+
+
+def ef_args(root, pr_phase, input_size=48, num_bins=5):
+    return ref_args(
+        pr_phase=pr_phase, num_bins=num_bins, num_classes=1,
+        input_size=input_size, crop_min=0.8,
+        ef_imagenet_train_root=str(root),
+        noisy_events_dir="events/noisy", clean_events_dir="events/clean",
+        sub_frames_dir="sub_frames",
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 5, 9])
+def test_ef_imagenet_rec_sample_vs_reference(tmp_path, monkeypatch, seed):
+    """PretrainEFImageNetDataset rec item (pr_ef_imagenet_dataset.py:184-212)
+    vs EFImageNetSource+PretrainPipeline: same frame index, same coupled
+    crop/flip draws -> identical augmented grid (nearest, with 5-bin
+    time-flip negation) and sub-frame (bicubic, sign-flipped on tflip)."""
+    from dataset.pretrain.pr_ef_imagenet_dataset import (
+        PretrainEFImageNetDataset,
+    )
+
+    from eventpretrain_tpu.data import pretrain_pipeline as ppl
+
+    build_ef_tree(str(tmp_path), np.random.default_rng(seed + 50))
+    args = ef_args(tmp_path, "rec")
+
+    np.random.seed(seed)
+    ref_item = PretrainEFImageNetDataset(args)[0]
+
+    # mirror the reference's two leading draws, then couple the view draws
+    np.random.seed(seed)
+    fi = int(np.random.randint(0, 10))
+    sd = int(np.random.randint(1000))
+    params, ref_tflip = legacy_view_params(sd, 57, 73)
+
+    src = ppl.EFImageNetSource(str(tmp_path), pr_phase="rec", fixed_frame=fi)
+    monkeypatch.setattr(ppl, "sample_view_params", lambda *a, **k: params)
+    pipe = ppl.PretrainPipeline(
+        src, ppl.PretrainDataConfig(pr_phase="rec", num_bins=5,
+                                    input_size=48),
+        batch_size=1, train=True, seed=0, num_workers=0,
+    )
+    batch = next(iter(pipe))
+    np.testing.assert_allclose(
+        np.asarray(batch["evg"][0], np.float32).transpose(2, 0, 1),
+        ref_item["events_voxel_grid"].numpy(), atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(batch["frame"][0], np.float32).transpose(2, 0, 1),
+        ref_item["sub_frame"].numpy(), atol=5e-5, rtol=1e-4,
+    )
+
+
+@pytest.mark.parametrize("seed", [1, 7])
+def test_ef_imagenet_con_sample_vs_reference(tmp_path, monkeypatch, seed):
+    """adj/con item (pr_ef_imagenet_dataset.py:213-222): augmented grid +
+    untouched (197, 512) clip embedding."""
+    from dataset.pretrain.pr_ef_imagenet_dataset import (
+        PretrainEFImageNetDataset,
+    )
+
+    from eventpretrain_tpu.data import pretrain_pipeline as ppl
+
+    build_ef_tree(str(tmp_path), np.random.default_rng(seed + 60))
+    args = ef_args(tmp_path, "con")
+
+    np.random.seed(seed)
+    ref_item = PretrainEFImageNetDataset(args)[0]
+
+    np.random.seed(seed)
+    fi = int(np.random.randint(0, 10))
+    sd = int(np.random.randint(1000))
+    params, _ = legacy_view_params(sd, 57, 73)
+
+    src = ppl.EFImageNetSource(str(tmp_path), pr_phase="con", fixed_frame=fi)
+    monkeypatch.setattr(ppl, "sample_view_params", lambda *a, **k: params)
+    pipe = ppl.PretrainPipeline(
+        src, ppl.PretrainDataConfig(pr_phase="con", num_bins=5,
+                                    input_size=48),
+        batch_size=1, train=True, seed=0, num_workers=0,
+    )
+    batch = next(iter(pipe))
+    np.testing.assert_allclose(
+        np.asarray(batch["evg"][0], np.float32).transpose(2, 0, 1),
+        ref_item["events_voxel_grid"].numpy(), atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(batch["clip_emb"][0], np.float32),
+        ref_item["clip_emb"].numpy(), atol=0,
+    )
