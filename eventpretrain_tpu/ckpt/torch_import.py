@@ -108,6 +108,11 @@ def _flax_path_to_torch_key(path: list[str]) -> tuple[str, str]:
     for name in path[:-1]:
         if name == "backbone_swin":
             continue  # transparent wrapper module
+        if name == "decoder" and not parts:
+            # PrHub's MAE decoder field; reference PrHubModel names it
+            # pretrain_rec_decoder (pr_hub_model.py:72-78)
+            parts.append("pretrain_rec_decoder")
+            continue
         m = re.fullmatch(r"(vit_block|conv_block1|conv_block2)_(\d+)", name)
         if m:
             parts.append(f"{m.group(1)}.{m.group(2)}")

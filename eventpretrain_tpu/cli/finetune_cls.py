@@ -118,6 +118,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--finetune", default=None,
                    help="checkpoint to initialize the backbone from "
                         "(.pth torch checkpoints are converted on load)")
+    p.add_argument("--feed_batches", default=None,
+                   help="replay a pickled list of train batch dicts instead "
+                        "of the dataset pipeline and skip validation "
+                        "(deterministic debugging; the trajectory A/B in "
+                        "tests/test_e2e_parity.py feeds this CLI and the "
+                        "reference main identical batches)")
     p.add_argument("--lenient_import", action="store_true",
                    help="allow torch --finetune files that do not cover "
                         "every backbone param (reference strict=False)")
@@ -308,7 +314,17 @@ def main(args=None):
             strict_backbone=not args.lenient_import,
         )
 
-    steps_per_epoch = max(len(train_src) // local_bs, 1)
+    feed = None
+    if args.feed_batches:
+        import pickle
+
+        with open(args.feed_batches, "rb") as f:
+            feed = pickle.load(f)
+
+    steps_per_epoch = (
+        max(len(feed) // args.epochs, 1) if feed is not None
+        else max(len(train_src) // local_bs, 1)
+    )
     eff_batch = args.batch_size * args.accum_iter
     lr = args.lr if args.lr is not None else args.blr * eff_batch / 256
     schedule = cosine_warmup_schedule(
@@ -373,10 +389,17 @@ def main(args=None):
     start_epoch = int(state.step) // steps_per_epoch
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
-        pipe = ClsPipeline(
-            train_src, cfg, local_bs, train=True,
-            seed=args.seed + epoch, num_workers=args.num_workers,
-        )
+        if feed is not None:
+            pipe = [
+                {k: jnp.asarray(v) for k, v in b.items()}
+                for b in feed[epoch * steps_per_epoch:
+                              (epoch + 1) * steps_per_epoch]
+            ]
+        else:
+            pipe = ClsPipeline(
+                train_src, cfg, local_bs, train=True,
+                seed=args.seed + epoch, num_workers=args.num_workers,
+            )
         if mesh is not None:
             from eventpretrain_tpu.parallel import ShardedPipeline
 
@@ -391,6 +414,13 @@ def main(args=None):
                 rng_key=jax.random.fold_in(key, epoch), epoch=epoch,
                 print_freq=args.print_freq,
             )
+        if feed is not None:
+            # batch replay has no val dataset: record train metrics only
+            append_log_line(args.output_dir, {
+                "epoch": epoch,
+                **{f"train_{k}": v for k, v in train_metrics.items()},
+            })
+            continue
         val_pipe = ClsPipeline(
             val_src, cfg, local_bs, train=False, seed=args.seed,
             num_workers=args.num_workers,

@@ -104,6 +104,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "queue per device, fed only local keys, "
                         "pr_hub_model.py:166); 'global' = one shared queue "
                         "fed by the global batch; auto = local under DP")
+    p.add_argument("--bn_scope", default="auto",
+                   choices=["auto", "global", "local"],
+                   help="projector/predictor BatchNorm statistic scope "
+                        "under --data_parallel: 'local' = per-device batch "
+                        "stats, exact reference DDP semantics "
+                        "(mlp_head.py:13-18 under main_pretrain.py:319 DDP); "
+                        "'global' = global-batch (sync-BN) stats; auto = "
+                        "local under DP, mirroring --queue_scope")
     p.add_argument("--temperature", type=float, default=0.07)
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--epochs", type=int, default=400)
@@ -172,6 +180,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard batches over all local devices "
                         "(Mesh(('data',)); replaces the reference's DDP, "
                         "main_pretrain.py:215-243)")
+    p.add_argument("--feed_batches", default=None,
+                   help="replay a pickled list of batch dicts instead of a "
+                        "dataset pipeline (deterministic debugging; the "
+                        "trajectory A/B in tests/test_e2e_parity.py feeds "
+                        "both this CLI and the reference main identical "
+                        "batches). Batches split evenly over --epochs.")
     p.add_argument("--visualize", action="store_true",
                    help="save reconstruction panels (rec phases)")
     return p
@@ -273,6 +287,17 @@ def main(args=None):
             print("[warn] --clip_weights not given: in-loop CLIP encoder is "
                   "randomly initialized (smoke-run mode)")
 
+    # BN scope must be fixed at model construction (GroupedBatchNorm is a
+    # module attribute); mirrors --queue_scope: local under DP = reference
+    # DDP per-rank statistics
+    bn_scope = args.bn_scope
+    if bn_scope == "auto":
+        bn_scope = "local" if args.data_parallel else "global"
+    bn_groups = 1
+    if bn_scope == "local" and args.data_parallel:
+        bn_groups = jax.device_count()
+        assert args.batch_size % bn_groups == 0
+
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     factory = {
         ("vit", "small"): pretrain_hub_small,
@@ -371,7 +396,17 @@ def main(args=None):
 
     print(f"model params: {count_params(params):.2f}M")
 
-    steps_per_epoch = max(len(source) // local_bs, 1)
+    feed = None
+    if args.feed_batches:
+        import pickle
+
+        with open(args.feed_batches, "rb") as f:
+            feed = pickle.load(f)
+
+    steps_per_epoch = (
+        max(len(feed) // args.epochs, 1) if feed is not None
+        else max(len(source) // local_bs, 1)
+    )
     eff_batch = args.batch_size * args.accum_iter
     lr = args.lr if args.lr is not None else args.blr * eff_batch / 256
     schedule = cosine_warmup_schedule(
@@ -506,7 +541,13 @@ def main(args=None):
     start_epoch = int(state.step) // steps_per_epoch
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
-        if clip_in_loop:
+        if feed is not None:
+            pipe = [
+                {k: jnp.asarray(v) for k, v in b.items()}
+                for b in feed[epoch * steps_per_epoch:
+                              (epoch + 1) * steps_per_epoch]
+            ]
+        elif clip_in_loop:
             pipe = ClipEncodingPipeline(
                 RawPretrainPipeline(
                     source, raw_cfg, local_bs, train=True,

@@ -438,6 +438,72 @@ def sincos_pos_embed_init(grid_size: int, embed_dim: int, cls_token: bool = Fals
     return init
 
 
+class GroupedBatchNorm(nn.Module):
+    """BatchNorm whose batch statistics are computed per contiguous row
+    group — the global-view-jit expression of per-DEVICE BatchNorm.
+
+    Reference-DDP parity: torch BatchNorm under DDP normalizes each rank's
+    LOCAL batch with its own statistics (model/sub_module/mlp_head.py:13-18
+    wrapped by DDP at main_pretrain.py:319 — no SyncBN). Under our single
+    jitted global-view step the BN input is the logically-global batch; with
+    ``groups = num_devices`` and the batch sharded contiguously over the
+    data axis (parallel/mesh.py), rows [g*B/G, (g+1)*B/G) are exactly device
+    g's local batch, so per-group statistics reproduce per-rank BN without
+    any shard_map or cross-device traffic (each group's reduction stays on
+    its own shard). ``groups=1`` is global-batch (sync-BN) statistics.
+
+    Variable layout matches flax ``nn.BatchNorm`` (params ``scale``/``bias``,
+    batch_stats ``mean``/``var``), so checkpoints and the torch
+    import/export mapping are identical for both scopes. Running stats
+    update with the group-averaged batch statistics (torch DDP keeps
+    per-rank buffers and saves rank 0's; they are never consumed during
+    pretraining — finetuning drops the projector heads — so the average is
+    an equally-valid summary, documented in PARITY.md).
+    """
+
+    groups: int = 1
+    use_scale: bool = True
+    use_bias: bool = True
+    momentum: float = 0.99  # keep the flax default used by the global path
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        # x: (N, C) rows; N divisible by groups (batch*tokens, batch sharded
+        # contiguously so row blocks = device-local batches)
+        feat = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((feat,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32)
+        )
+        if train:
+            g = self.groups
+            xg = x.astype(jnp.float32).reshape(g, -1, feat)
+            mean = xg.mean(axis=1, keepdims=True)          # (G, 1, C)
+            var = ((xg - mean) ** 2).mean(axis=1, keepdims=True)
+            xn = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
+            xn = xn.reshape(x.shape)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean.mean(
+                    axis=(0, 1)
+                )
+                ra_var.value = m * ra_var.value + (1 - m) * var.mean(
+                    axis=(0, 1)
+                )
+        else:
+            xn = (x.astype(jnp.float32) - ra_mean.value) * jax.lax.rsqrt(
+                ra_var.value + self.epsilon
+            )
+        if self.use_scale:
+            xn = xn * self.param("scale", nn.initializers.ones, (feat,))
+        if self.use_bias:
+            xn = xn + self.param("bias", nn.initializers.zeros, (feat,))
+        return xn
+
+
 class ProjectorMlp(nn.Module):
     """SimCLR/MoCo-v3 style projector/predictor over tokens.
 
@@ -445,10 +511,12 @@ class ProjectorMlp(nn.Module):
     bias-free Linears with BatchNorm+ReLU between layers and an affine-free
     BatchNorm at the end. The reference's BatchNorm2d over (B, h, w) per
     channel is exactly BatchNorm over (B, L) of token tensors, so no reshape
-    dance (reference pr_hub_model.py:223-238) is needed. Under global-view
-    jit the batch statistics are computed over the *global* batch (sync-BN);
-    the reference uses per-GPU stats — a documented deviation that only makes
-    the statistics less noisy.
+    dance (reference pr_hub_model.py:223-238) is needed.
+
+    BN scope under data parallelism (``bn_groups``): 1 = global-batch
+    statistics (sync-BN; less noisy than the reference); ``num_devices`` =
+    per-device statistics, exactly the reference's DDP BatchNorm semantics
+    (see GroupedBatchNorm). CLI: ``--bn_scope {auto,global,local}``.
     """
 
     num_layers: int
@@ -456,33 +524,27 @@ class ProjectorMlp(nn.Module):
     out_dim: int
     last_bn: bool = True
     dtype: Dtype = jnp.float32
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        # x: (B, L, C); BN normalizes over (B, L) per feature.
+        # x: (B, L, C); BN normalizes over (B, L) per feature — per row
+        # group when bn_groups > 1 (per-device stats, reference DDP parity)
         for layer in range(self.num_layers):
             dim2 = self.out_dim if layer == self.num_layers - 1 else self.mlp_dim
             x = nn.Dense(dim2, use_bias=False, dtype=self.dtype, name=f"fc{layer}")(x)
             if layer < self.num_layers - 1:
-                x = nn.BatchNorm(
-                    use_running_average=not train,
-                    axis=-1,
-                    axis_name=None,
-                    dtype=jnp.float32,
-                    name=f"bn{layer}",
-                )(x.reshape(-1, x.shape[-1])).reshape(x.shape).astype(
+                x = GroupedBatchNorm(
+                    groups=self.bn_groups, name=f"bn{layer}",
+                )(x.reshape(-1, x.shape[-1]), train).reshape(x.shape).astype(
                     self.dtype
                 )
                 x = nn.relu(x)
             elif self.last_bn:
-                x = nn.BatchNorm(
-                    use_running_average=not train,
-                    use_bias=False,
-                    use_scale=False,
-                    axis=-1,
-                    dtype=jnp.float32,
+                x = GroupedBatchNorm(
+                    groups=self.bn_groups, use_scale=False, use_bias=False,
                     name=f"bn{layer}",
-                )(x.reshape(-1, x.shape[-1])).reshape(x.shape).astype(
+                )(x.reshape(-1, x.shape[-1]), train).reshape(x.shape).astype(
                     self.dtype
                 )
         return x

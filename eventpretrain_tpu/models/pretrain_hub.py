@@ -48,6 +48,10 @@ class PrHub(nn.Module):
     clip_emb_dim: int = 512
     clip_proj_conv: bool = False  # swin: Conv 2x2 stride 2 (14^2 -> 7^2)
     dtype: Any = jnp.float32
+    # projector/predictor BatchNorm statistic scope: 1 = global batch
+    # (sync-BN), num_devices = per-device stats (reference DDP parity,
+    # models/layers.py::GroupedBatchNorm); CLI --bn_scope
+    bn_groups: int = 1
 
     def setup(self):
         self.emb_h_proj = ProjectorMlp(
@@ -55,6 +59,7 @@ class PrHub(nn.Module):
             mlp_dim=self.mlp_dim,
             out_dim=self.embed_dim,
             dtype=self.dtype,
+            bn_groups=self.bn_groups,
             name="emb_h_proj",
         )
         self.emb_h_pred = ProjectorMlp(
@@ -62,6 +67,7 @@ class PrHub(nn.Module):
             mlp_dim=self.mlp_dim,
             out_dim=self.embed_dim,
             dtype=self.dtype,
+            bn_groups=self.bn_groups,
             name="emb_h_pred",
         )
         # torch nn.LayerNorm default eps (reference pr_hub_model.py:92)
@@ -151,6 +157,7 @@ def pretrain_hub_small(num_bins: int = 5, mask_ratio: float = 0.75,
                        frame_chans: int = 1, with_decoder: bool = True,
                        dtype: Any = jnp.float32, **bk) -> PrHub:
     """Reference pretrain_hub_model_small_patch16 (pr_hub_model.py:262-267)."""
+    bn_groups = bk.pop("bn_groups", 1)
     backbone = vit_small_patch16(num_bins=num_bins, dtype=dtype, name="backbone", **bk)
     num_patches = (bk.get("input_size", 224) // 16) ** 2
     decoder = (
@@ -160,13 +167,14 @@ def pretrain_hub_small(num_bins: int = 5, mask_ratio: float = 0.75,
         if with_decoder else None
     )
     return PrHub(backbone=backbone, decoder=decoder, embed_dim=384,
-                 num_patches=num_patches, dtype=dtype)
+                 num_patches=num_patches, dtype=dtype, bn_groups=bn_groups)
 
 
 def pretrain_hub_base(num_bins: int = 5, mask_ratio: float = 0.75,
                       frame_chans: int = 1, with_decoder: bool = True,
                       dtype: Any = jnp.float32, **bk) -> PrHub:
     """Reference pretrain_hub_model_base_patch16 (pr_hub_model.py:276-281)."""
+    bn_groups = bk.pop("bn_groups", 1)
     backbone = vit_base_patch16(num_bins=num_bins, dtype=dtype, name="backbone", **bk)
     num_patches = (bk.get("input_size", 224) // 16) ** 2
     decoder = (
@@ -176,7 +184,7 @@ def pretrain_hub_base(num_bins: int = 5, mask_ratio: float = 0.75,
         if with_decoder else None
     )
     return PrHub(backbone=backbone, decoder=decoder, embed_dim=768,
-                 num_patches=num_patches, dtype=dtype)
+                 num_patches=num_patches, dtype=dtype, bn_groups=bn_groups)
 
 
 def pretrain_hub_convvit_small(num_bins: int = 5, mask_ratio: float = 0.75,
@@ -185,6 +193,7 @@ def pretrain_hub_convvit_small(num_bins: int = 5, mask_ratio: float = 0.75,
     """ConvViT-small hub (reference pr_hub_model.py:45-61 + 262-267)."""
     from eventpretrain_tpu.models.convvit import convvit_small_patch16
 
+    bn_groups = bk.pop("bn_groups", 1)
     backbone = convvit_small_patch16(
         num_bins=num_bins, with_rec_decoders=with_decoder, dtype=dtype,
         name="backbone", **bk,
@@ -197,7 +206,7 @@ def pretrain_hub_convvit_small(num_bins: int = 5, mask_ratio: float = 0.75,
         if with_decoder else None
     )
     return PrHub(backbone=backbone, decoder=decoder, embed_dim=384,
-                 num_patches=num_patches, dtype=dtype)
+                 num_patches=num_patches, dtype=dtype, bn_groups=bn_groups)
 
 
 def pretrain_hub_convvit_base(num_bins: int = 5, mask_ratio: float = 0.75,
@@ -205,6 +214,7 @@ def pretrain_hub_convvit_base(num_bins: int = 5, mask_ratio: float = 0.75,
                               dtype: Any = jnp.float32, **bk) -> PrHub:
     from eventpretrain_tpu.models.convvit import convvit_base_patch16
 
+    bn_groups = bk.pop("bn_groups", 1)
     backbone = convvit_base_patch16(
         num_bins=num_bins, with_rec_decoders=with_decoder, dtype=dtype,
         name="backbone", **bk,
@@ -217,7 +227,7 @@ def pretrain_hub_convvit_base(num_bins: int = 5, mask_ratio: float = 0.75,
         if with_decoder else None
     )
     return PrHub(backbone=backbone, decoder=decoder, embed_dim=768,
-                 num_patches=num_patches, dtype=dtype)
+                 num_patches=num_patches, dtype=dtype, bn_groups=bn_groups)
 
 
 def pretrain_hub_swin(num_bins: int = 5, mask_ratio: float = 0.5,
@@ -227,6 +237,7 @@ def pretrain_hub_swin(num_bins: int = 5, mask_ratio: float = 0.5,
     pr_hub_model.py:269-274): 49 patches of 32px, conv clip projection."""
     from eventpretrain_tpu.models.swin import swin_tiny_window7
 
+    bn_groups = bk.pop("bn_groups", 1)
     backbone = swin_tiny_window7(
         num_bins=num_bins, with_rec_decoders=with_decoder, dtype=dtype,
         name="backbone", **bk,
@@ -239,4 +250,5 @@ def pretrain_hub_swin(num_bins: int = 5, mask_ratio: float = 0.5,
         if with_decoder else None
     )
     return PrHub(backbone=backbone, decoder=decoder, embed_dim=768,
-                 num_patches=num_patches, clip_proj_conv=True, dtype=dtype)
+                 num_patches=num_patches, clip_proj_conv=True, dtype=dtype,
+                 bn_groups=bn_groups)

@@ -19,6 +19,21 @@ from eventpretrain_tpu.train.state import TrainState
 from eventpretrain_tpu.utils.logging import MetricLogger
 
 
+def accepts_step_index(step: Callable) -> bool:
+    """Does this step take an explicit ``step_index`` kwarg? Swin pretrain
+    steps do (the host cell-mask schedule is keyed by global step index,
+    train/steps.py::_HostCellMasker); jitted steps generally don't."""
+    cached = getattr(step, "_accepts_step_index", None)
+    if cached is not None:
+        return cached
+    import inspect
+
+    try:
+        return "step_index" in inspect.signature(step).parameters
+    except (TypeError, ValueError):
+        return False
+
+
 def train_one_epoch(
     step: Callable,
     state: TrainState,
@@ -43,12 +58,23 @@ def train_one_epoch(
             logger.update(**{k: float(v) for k, v in m.items()})
         pending.clear()
 
+    # the loop owns the authoritative step counter: steps with a host-side
+    # schedule (swin cell masks) receive it explicitly, so the
+    # _HostCellMasker is_ready() resync heuristic never has to fire in
+    # production runs (it remains a fallback for direct step calls)
+    pass_index = accepts_step_index(step)
+    start_step = int(state.step) if pass_index else 0
+
     i = 0
     for batch in logger.log_every(
         Prefetcher(pipeline), print_freq, header, on_print=flush
     ):
         rng_key, sub = jax.random.split(rng_key)
-        state, metrics = step(state, batch, sub)
+        if pass_index:
+            state, metrics = step(state, batch, sub,
+                                  step_index=start_step + i)
+        else:
+            state, metrics = step(state, batch, sub)
         pending.append(metrics)
         # keep a bounded dispatch queue (donated buffers + relay memory)
         if len(pending) >= print_freq:

@@ -117,8 +117,17 @@ def make_rec_step(
     def loss_fn(params, state: TrainState, batch, rng):
         rng_mask, rng_drop = jax.random.split(rng)
         evg = batch["evg"]
-        noise = masking_noise(rng_mask, evg, patch_size, masking_strategy)
-        ids_keep, mask, ids_restore = make_mask_from_noise(noise, len_keep)
+        if "ids_restore" in batch:
+            # mask replay: batches may carry an explicit masking (parity
+            # trajectory A/B vs the reference RNG, ablations, debugging);
+            # jit specializes on dict keys, so the sampling branch costs
+            # nothing when absent
+            ids_keep = batch["ids_keep"]
+            mask = batch["mask"]
+            ids_restore = batch["ids_restore"]
+        else:
+            noise = masking_noise(rng_mask, evg, patch_size, masking_strategy)
+            ids_keep, mask, ids_restore = make_mask_from_noise(noise, len_keep)
         pred, *_ = state.apply_fn(
             {"params": params},
             evg,
@@ -958,9 +967,17 @@ def forward_only(step: Callable) -> Callable:
     backend (CPU ignores donation, which is why only real-chip runs see it).
     """
 
-    def wrapped(state: TrainState, batch, rng):
+    from eventpretrain_tpu.train.loop import accepts_step_index
+
+    pass_index = accepts_step_index(step)
+
+    def wrapped(state: TrainState, batch, rng, step_index=None):
         scratch = jax.tree.map(jnp.copy, state)
-        _, metrics = step(scratch, batch, rng)
+        if pass_index:
+            _, metrics = step(scratch, batch, rng, step_index=step_index)
+        else:
+            _, metrics = step(scratch, batch, rng)
         return state, metrics
 
+    wrapped._accepts_step_index = pass_index
     return wrapped

@@ -25,8 +25,11 @@ def install_timm_shim():
     import torch.nn as tnn
 
     timm = types.ModuleType("timm")
+    timm.__version__ = "0.3.2"  # reference main_*.py:18-19 asserts this
     models = types.ModuleType("timm.models")
     layers = types.ModuleType("timm.models.layers")
+    utils_mod = types.ModuleType("timm.utils")
+    loss_mod = types.ModuleType("timm.loss")
 
     def to_2tuple(x):
         return tuple(x) if isinstance(x, (tuple, list)) else (x, x)
@@ -44,14 +47,70 @@ def install_timm_shim():
         def forward(self, x):  # eval-mode parity only
             return x
 
+    def accuracy(output, target, topk=(1,)):
+        # timm.utils.accuracy (0.3.2): top-k accuracy percentages
+        maxk = max(topk)
+        batch_size = target.size(0)
+        _, pred = output.topk(maxk, 1, True, True)
+        pred = pred.t()
+        correct = pred.eq(target.reshape(1, -1).expand_as(pred))
+        return [
+            correct[:k].reshape(-1).float().sum(0) * 100.0 / batch_size
+            for k in topk
+        ]
+
+    class LabelSmoothingCrossEntropy(tnn.Module):
+        # timm.loss.LabelSmoothingCrossEntropy (0.3.2)
+        def __init__(self, smoothing=0.1):
+            super().__init__()
+            self.smoothing = smoothing
+            self.confidence = 1.0 - smoothing
+
+        def forward(self, x, target):
+            logprobs = torch.nn.functional.log_softmax(x, dim=-1)
+            nll_loss = -logprobs.gather(
+                dim=-1, index=target.unsqueeze(1)
+            ).squeeze(1)
+            smooth_loss = -logprobs.mean(dim=-1)
+            loss = self.confidence * nll_loss + self.smoothing * smooth_loss
+            return loss.mean()
+
     layers.DropPath = DropPath
     layers.to_2tuple = to_2tuple
     layers.trunc_normal_ = trunc_normal_
     models.layers = layers
+    utils_mod.accuracy = accuracy
+    loss_mod.LabelSmoothingCrossEntropy = LabelSmoothingCrossEntropy
     timm.models = models
+    timm.utils = utils_mod
+    timm.loss = loss_mod
     sys.modules["timm"] = timm
     sys.modules["timm.models"] = models
     sys.modules["timm.models.layers"] = layers
+    sys.modules["timm.utils"] = utils_mod
+    sys.modules["timm.loss"] = loss_mod
+
+
+def install_main_shims():
+    """Extra stubs so the reference ENTRY POINTS import: ptflops (only the
+    commented-out FLOP counter references it) and clip (loaded in-loop only
+    for adj-n/con-n, which the trajectory tests don't run)."""
+    if "ptflops" not in sys.modules:
+        ptflops = types.ModuleType("ptflops")
+
+        def get_model_complexity_info(*a, **k):
+            raise NotImplementedError("ptflops shim: not used in tests")
+
+        ptflops.get_model_complexity_info = get_model_complexity_info
+        sys.modules["ptflops"] = ptflops
+    if "clip" not in sys.modules:
+        clip = types.ModuleType("clip")
+
+        def load(*a, **k):
+            raise NotImplementedError("clip shim: adj-n/con-n not under test")
+
+        clip.load = load
+        sys.modules["clip"] = clip
 
 
 def load_reference():

@@ -822,3 +822,246 @@ def test_ef_imagenet_con_sample_vs_reference(tmp_path, monkeypatch, seed):
         np.asarray(batch["clip_emb"][0], np.float32),
         ref_item["clip_emb"].numpy(), atol=0,
     )
+
+
+# ---------------------------------------------------------------------------
+# (c) N-step loss-trajectory A/B of the full programs: the reference mains
+#     (main_pretrain.py:351-372, main_finetune_cls.py:445-498 via their real
+#     trainers/optimizers) vs our CLIs, from the same imported init over
+#     identical batches. With real datasets and released checkpoints absent,
+#     per-step loss agreement of the complete programs is the strongest
+#     attainable evidence for the +-0.3% finetune north star.
+# ---------------------------------------------------------------------------
+
+
+def _sd_torch(module):
+    return {k: v.detach().cpu().clone() for k, v in module.state_dict().items()}
+
+
+def _capture_losses_from_cli(monkeypatch, cli_module):
+    """Wrap the CLI's train_one_epoch so every step's 'loss' metric is
+    recorded (the CLI itself only logs epoch averages)."""
+    import eventpretrain_tpu.train.loop as loop_mod
+
+    losses = []
+    real = loop_mod.train_one_epoch
+
+    def wrapped(step, state, pipeline, rng_key, **kw):
+        def rec_step(s, b, r):
+            s2, m = step(s, b, r)
+            losses.append(m["loss"])
+            return s2, m
+
+        return real(step=rec_step, state=state, pipeline=pipeline,
+                    rng_key=rng_key, **kw)
+
+    monkeypatch.setattr(cli_module, "train_one_epoch", wrapped)
+    return losses
+
+
+def test_rec_trajectory_vs_reference_main(tmp_path, monkeypatch):
+    """Stage-1 rec: run the reference main_pretrain.main(args) (CPU, bs2,
+    2 epochs on a synthetic EF tree) capturing its per-step batches, masks
+    and losses from the real PrHubModel forwards; then run cli/pretrain.py
+    with the SAME init (state dict exported through ckpt/torch_import), the
+    SAME batches (--feed_batches) and the SAME masks (mask replay). Per-step
+    losses must agree to ~1e-4 in f32 — the full program compositions
+    (data -> model -> loss -> AdamW(LRD groups) -> LR schedule) match."""
+    import os
+    import pickle
+
+    from tests._torch_ref import install_main_shims, nhwc
+
+    install_main_shims()
+    import main_pretrain
+    from model.pretrain import pr_hub_model
+
+    data_root = os.path.join(str(tmp_path), "ef")
+    build_ef_tree(
+        data_root, np.random.default_rng(1),
+        image_names=[f"n01_000{i}" for i in range(4)], hw=(64, 64),
+    )
+
+    args = main_pretrain.get_args_parser().parse_args([])
+    for k, v in dict(
+        pr_phase="rec", backbone_type="vit", model_size="small",
+        mask_ratio=0.75, masking_strategy="random", epochs=2,
+        warmup_epochs=1, blr=0.05, batch_size=2, num_workers=0,
+        pin_mem=False, visualize=False, test_experiment=False, seed=0,
+        ef_imagenet_train_root=data_root, num_classes=1,
+        output_root_path=os.path.join(str(tmp_path), "ref_out"),
+        save_model_freq=100, log_freq=1, print_freq=1, input_size=224,
+        num_bins=5, frame_chans=1, device="cpu", drop_path_rate=0.0,
+        exp_name="traj",
+    ).items():
+        setattr(args, k, v)
+
+    captured = {}
+    records = []
+    real_factory = pr_hub_model.pretrain_hub_model_small_patch16
+
+    def spy_factory(args, **kw):
+        model = real_factory(args, **kw)
+        captured["sd"] = _sd_torch(model)
+        return model
+
+    real_fwd = pr_hub_model.PrHubModel.forward
+
+    def spy_fwd(self, evg, supp, is_rec=False):
+        out = real_fwd(self, evg, supp, is_rec=is_rec)
+        loss, _, _, _, _, mask, ids_restore = out
+        records.append({
+            "evg": nhwc(evg),
+            "frame": nhwc(supp),
+            "mask": np.asarray(mask.detach().numpy(), np.float32),
+            "ids_restore": np.asarray(
+                ids_restore.detach().numpy(), np.int32
+            ),
+            "loss": float(loss.detach()),
+        })
+        return out
+
+    monkeypatch.setattr(
+        pr_hub_model, "pretrain_hub_model_small_patch16", spy_factory
+    )
+    monkeypatch.setattr(pr_hub_model.PrHubModel, "forward", spy_fwd)
+    main_pretrain.main(args)
+    assert len(records) == 4  # 4 images, bs2, 2 epochs
+
+    # feed file: identical batches + replayed masks, our layout
+    len_keep = int(196 * (1 - 0.75))
+    feed = []
+    for r in records:
+        ids_shuffle = np.argsort(r["ids_restore"], axis=1)
+        feed.append({
+            "evg": r["evg"],
+            "frame": r["frame"],
+            "ids_keep": ids_shuffle[:, :len_keep].astype(np.int32),
+            "mask": r["mask"],
+            "ids_restore": r["ids_restore"],
+        })
+    feed_path = os.path.join(str(tmp_path), "feed.pkl")
+    with open(feed_path, "wb") as f:
+        pickle.dump(feed, f)
+    init_path = os.path.join(str(tmp_path), "ref_init.pth")
+    torch.save({"model": captured["sd"]}, init_path)
+
+    from eventpretrain_tpu.cli import pretrain as cli_pretrain
+
+    losses = _capture_losses_from_cli(monkeypatch, cli_pretrain)
+    cli_pretrain.main([
+        "--pr_phase", "rec", "--dataset", "synthetic",
+        "--feed_batches", feed_path, "--init_from", init_path,
+        "--epochs", "2", "--warmup_epochs", "1", "--blr", "0.05",
+        "--batch_size", "2", "--mask_ratio", "0.75", "--no-bf16",
+        "--seed", "0", "--num_workers", "0", "--print_freq", "1",
+        "--save_model_freq", "100",
+        "--output_dir", os.path.join(str(tmp_path), "ours_out"),
+    ])
+    ours = [float(l) for l in losses]
+    ref = [r["loss"] for r in records]
+    assert len(ours) == len(ref) == 4
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=1e-4)
+
+
+def test_cls_trajectory_vs_reference_main(tmp_path, monkeypatch):
+    """Finetune cls: reference main_finetune_cls.main(args) (N-Cars fixture
+    tree, CPU, bs2, 2 epochs, real ft_train_one_epoch/ft_val/AdamW/clip-5)
+    vs cli/finetune_cls.py from the same imported init over the captured
+    train batches. Per-step CE losses must agree."""
+    import os
+    import pickle
+
+    from tests._torch_ref import install_main_shims
+
+    install_main_shims()
+    import main_finetune_cls
+    import utils.misc as ref_misc
+    from model.finetune_cls import ft_cls_hub_model
+
+    root = os.path.join(str(tmp_path), "ncars")
+    os.makedirs(root)
+    build_ncars_tree(root, np.random.default_rng(3), n_per_class=2,
+                     n_events=4000)
+
+    args = main_finetune_cls.get_args_parser().parse_args([])
+    for k, v in dict(
+        dataset_type="n-cars", backbone_type="vit", model_size="small",
+        num_classes=2, num_bins=5, input_size=224, fix_events_num=3000,
+        val_fix_events_num=40000, val_event_noise=False,
+        resize_mode="bilinear", crop_min=0.8, batch_size=2, epochs=2,
+        warmup_epochs=1, blr=0.05, smoothing=0.0, drop_path_rate=0.0,
+        drop_rate=0.0, attn_drop_rate=0.0, num_workers=0, pin_mem=False,
+        visualize=False, test_experiment=False, seed=0, device="cpu",
+        n_cars_train_root=root, n_cars_val_root=root,
+        output_root_path=os.path.join(str(tmp_path), "ref_out"),
+        save_model_freq=100, log_freq=1, print_freq=1, exp_name="traj",
+        use_checkpoint=False, use_evrepsl=False, linprob=False,
+    ).items():
+        setattr(args, k, v)
+
+    captured = {}
+    batches = []
+    losses_ref = []
+    real_factory = ft_cls_hub_model.finetune_cls_hub_model_small_patch16
+
+    def spy_factory(args, **kw):
+        model = real_factory(args, **kw)
+        captured["sd"] = _sd_torch(model)
+        return model
+
+    real_log_every = ref_misc.MetricLogger.log_every
+
+    def spy_log_every(self, args, iterable, print_freq, header=None):
+        # the train logger pre-registers an 'lr' meter
+        # (ft_cls_trainer.py:18); val loggers don't — capture train only
+        is_train = "lr" in self.meters
+        for tup in real_log_every(self, args, iterable, print_freq, header):
+            if is_train:
+                evg, label, _ = tup
+                batches.append({
+                    "evg": np.ascontiguousarray(
+                        evg.numpy().transpose(0, 2, 3, 1)
+                    ),
+                    "label": np.asarray(label.numpy(), np.int32),
+                })
+            yield tup
+
+    real_update = ref_misc.MetricLogger.update
+
+    def spy_update(self, **kwargs):
+        if "lr" in self.meters and "loss_cls" in kwargs:
+            losses_ref.append(float(kwargs["loss_cls"]))
+        return real_update(self, **kwargs)
+
+    monkeypatch.setattr(
+        ft_cls_hub_model, "finetune_cls_hub_model_small_patch16",
+        spy_factory,
+    )
+    monkeypatch.setattr(ref_misc.MetricLogger, "log_every", spy_log_every)
+    monkeypatch.setattr(ref_misc.MetricLogger, "update", spy_update)
+    main_finetune_cls.main(args)
+    assert len(batches) == len(losses_ref) == 4
+
+    feed_path = os.path.join(str(tmp_path), "feed.pkl")
+    with open(feed_path, "wb") as f:
+        pickle.dump(batches, f)
+    init_path = os.path.join(str(tmp_path), "ref_init.pth")
+    torch.save({"model": captured["sd"]}, init_path)
+
+    from eventpretrain_tpu.cli import finetune_cls as cli_cls
+
+    losses = _capture_losses_from_cli(monkeypatch, cli_cls)
+    cli_cls.main([
+        "--dataset", "synthetic", "--backbone", "vit",
+        "--model_size", "small", "--num_classes", "2",
+        "--feed_batches", feed_path, "--finetune", init_path,
+        "--epochs", "2", "--warmup_epochs", "1", "--blr", "0.05",
+        "--batch_size", "2", "--smoothing", "0", "--no-bf16",
+        "--drop_path_rate", "0", "--seed", "0", "--num_workers", "0",
+        "--print_freq", "1",
+        "--output_dir", os.path.join(str(tmp_path), "ours_out"),
+    ])
+    ours = [float(l) for l in losses]
+    assert len(ours) == 4
+    np.testing.assert_allclose(ours, losses_ref, rtol=2e-4, atol=1e-4)
