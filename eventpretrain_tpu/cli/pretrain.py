@@ -77,7 +77,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_imagenet_root", default=None,
                    help="raw N-ImageNet event .npz tree (adj-n/con-n)")
     p.add_argument("--imagenet_root", default=None,
-                   help="paired ImageNet JPEG tree (adj-n/con-n)")
+                   help="paired ImageNet JPEG tree (adj-n/con-n, raw ecdp)")
+    p.add_argument("--clip_emb_root", default=None,
+                   help="precomputed <class>/<name>/<name>_clip_emb.pt tree "
+                        "(raw N-ImageNet ecdp; the reference's "
+                        "--imagenet_clip_emb_root)")
     p.add_argument("--clip_weights", default=None,
                    help="OpenAI CLIP ViT-B/16 checkpoint for in-loop "
                         "encoding; random init with a warning if omitted")
@@ -690,7 +694,45 @@ def main_ecdp(args):
 
     # ECDP runs on 2-channel count images
     args.num_bins = 2
-    if args.dataset == "synthetic":
+    raw_pipeline = False
+    clip_model = clip_params = None
+    if args.dataset == "n_imagenet":
+        # raw N-ImageNet ECDP q/k path (reference
+        # pr_n_imagenet_dataset.py:125-181 + main_pretrain.py:185-192
+        # pr_phase='ecdp'): raw npz -> two independent windows+augments ->
+        # 2-chan count images -> per-image norm; clip embedding from a
+        # precomputed tree (--clip_emb_root) or in-loop CLIP on the paired
+        # JPEGs (--imagenet_root [+ --clip_weights])
+        assert args.n_imagenet_root and (
+            args.imagenet_root or args.clip_emb_root
+        ), ("--dataset n_imagenet needs --n_imagenet_root plus one of "
+            "--imagenet_root (in-loop CLIP) / --clip_emb_root")
+        source = NImageNetPairedSource(
+            args.n_imagenet_root,
+            imagenet_root=args.imagenet_root,
+            clip_emb_root=args.clip_emb_root,
+            num_classes=args.pretrain_num_classes,
+        )
+        raw_pipeline = True
+        if args.imagenet_root:
+            from eventpretrain_tpu.models.clip import (
+                clip_vit_b16, load_clip_visual_weights,
+            )
+
+            clip_model = clip_vit_b16(
+                dtype=jnp.bfloat16 if args.bf16 else jnp.float32
+            )
+            clip_params = jax.jit(clip_model.init)(
+                jax.random.key(0), jnp.zeros((1, 224, 224, 3))
+            )["params"]
+            if args.clip_weights:
+                clip_params = load_clip_visual_weights(
+                    args.clip_weights, clip_params
+                )
+            else:
+                print("[warn] --clip_weights not given: in-loop CLIP "
+                      "encoder is randomly initialized (smoke-run mode)")
+    elif args.dataset == "synthetic":
         source = SyntheticPretrainSource(
             n=max(args.batch_size * 4, 32), size=args.input_size,
             num_bins=2, clip_tokens=1, seed=args.seed,
@@ -794,9 +836,31 @@ def main_ecdp(args):
     start_epoch = int(state.step) // steps_per_epoch
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
-        pipe = EcdpPretrainPipeline(source, cfg, local_bs, train=True,
-                                    seed=args.seed + epoch,
-                                    num_workers=args.num_workers)
+        if raw_pipeline:
+            from eventpretrain_tpu.data.pretrain_pipeline import (
+                ClipEncodingPipeline,
+                EcdpRawPretrainPipeline,
+                RawPretrainDataConfig,
+            )
+
+            pipe = EcdpRawPretrainPipeline(
+                source,
+                RawPretrainDataConfig(
+                    num_bins=2, input_size=args.input_size,
+                    crop_min=args.crop_min,
+                    fix_events_num=args.fix_events_num,
+                ),
+                local_bs, train=True, seed=args.seed + epoch,
+                num_workers=args.num_workers,
+            )
+            if clip_model is not None:
+                pipe = ClipEncodingPipeline(
+                    pipe, clip_model, clip_params, cls_only=True
+                )
+        else:
+            pipe = EcdpPretrainPipeline(source, cfg, local_bs, train=True,
+                                        seed=args.seed + epoch,
+                                        num_workers=args.num_workers)
         if mesh is not None:
             from eventpretrain_tpu.parallel import ShardedPipeline
 
@@ -817,8 +881,25 @@ def main_ecdp(args):
 
             from eventpretrain_tpu.viz import save_ecdp_panel
 
-            vb = next(iter(EcdpPretrainPipeline(
-                source, cfg, args.batch_size, train=False, seed=args.seed)))
+            if raw_pipeline:
+                from eventpretrain_tpu.data.pretrain_pipeline import (
+                    EcdpRawPretrainPipeline,
+                    RawPretrainDataConfig,
+                )
+
+                vpipe = EcdpRawPretrainPipeline(
+                    source,
+                    RawPretrainDataConfig(
+                        num_bins=2, input_size=args.input_size,
+                        fix_events_num=args.fix_events_num,
+                    ),
+                    1, train=False, seed=args.seed,
+                )
+            else:
+                vpipe = EcdpPretrainPipeline(
+                    source, cfg, 1, train=False, seed=args.seed
+                )
+            vb = next(iter(vpipe))
             save_ecdp_panel(
                 f"{args.output_dir}/vis_train", f"epoch_{epoch:03d}.png",
                 _np.asarray(vb["img_q"][0], _np.float32),

@@ -365,10 +365,21 @@ class NImageNetPairedSource:
 
     SENSOR_HW = (480, 640)
 
-    def __init__(self, n_imagenet_root: str, imagenet_root: str,
-                 num_classes: Optional[int] = None):
+    def __init__(self, n_imagenet_root: str, imagenet_root: str = None,
+                 num_classes: Optional[int] = None,
+                 clip_emb_root: Optional[str] = None):
+        """``imagenet_root``: paired JPEGs for in-loop CLIP encoding;
+        ``clip_emb_root``: precomputed <class>/<name>/<name>_clip_emb.pt
+        tree instead (the reference's --imagenet_clip_emb_root intent —
+        its PretrainECDPNImageNetDataset.load_clip_emb reads an attribute
+        that is never assigned, pr_n_imagenet_dataset.py:118; implemented
+        here as it was evidently meant to work). Exactly one must be set."""
+        assert (imagenet_root is None) != (clip_emb_root is None), (
+            "pass exactly one of imagenet_root / clip_emb_root"
+        )
         self.n_imagenet_root = n_imagenet_root
         self.imagenet_root = imagenet_root
+        self.clip_emb_root = clip_emb_root
         classes = sorted(os.listdir(n_imagenet_root))
         if num_classes is not None:
             classes = classes[:num_classes]
@@ -389,8 +400,15 @@ class NImageNetPairedSource:
             [ev["x"], ev["y"], ev["t"].astype(np.float64) / 1e6, ev["p"]],
             axis=1,
         ).astype(np.float64)
-        return {"events": events, "image": self._load_image(cls, name),
-                "hw": self.SENSOR_HW}
+        out = {"events": events, "hw": self.SENSOR_HW}
+        if self.clip_emb_root is not None:
+            emb = _load_tensor(os.path.join(
+                self.clip_emb_root, cls, name, name + "_clip_emb.pt"
+            ))
+            out["clip_emb"] = np.squeeze(np.asarray(emb, np.float32))
+        else:
+            out["image"] = self._load_image(cls, name)
+        return out
 
     def _load_image(self, cls: str, name: str) -> np.ndarray:
         from PIL import Image
@@ -434,14 +452,28 @@ class SyntheticRawPretrainSource:
         return {"events": events, "image": image, "hw": self.hw}
 
 
+def _rescale_packed_coords(packed: np.ndarray, hws, out_size: int) -> None:
+    """In-place x/y rescale of a packed (B, E, 4) batch from per-sample
+    sensor sizes to ``out_size`` (reference events_augment.py:22-26
+    events_reshape, applied at pr_n_imagenet_dataset.py:85-86,137-138,156-157
+    AFTER the stream augment and BEFORE rasterizing at input resolution)."""
+    hw = np.asarray(hws, np.float32)  # (B, 2) = (h, w)
+    packed[:, :, 0] *= (out_size / hw[:, 1])[:, None]
+    packed[:, :, 1] *= (out_size / hw[:, 0])[:, None]
+
+
 class RawPretrainPipeline:
     """Raw-event pretrain batches {'evg', 'image'} for the -n phases.
 
     Host: random fixed-count window (reference events_augment.py:5-20),
-    erase/add stream augmentation, fixed-capacity packing + uint16 codec.
-    Device: voxelize at sensor canvas + fused crop/resize/flip view augment
-    (one jitted program, shared with the cls pipeline). The paired image
-    rides along for in-loop CLIP encoding (ClipEncodingPipeline).
+    erase/add stream augmentation (at sensor size), coordinate rescale to
+    input resolution (events_reshape), fixed-capacity packing + compact
+    codec. Device: voxelize at the input-size canvas + fused
+    crop/resize/flip view augment (one jitted program, shared with the cls
+    pipeline) — the reference's exact composition
+    (pr_n_imagenet_dataset.py:80-89: window -> augment -> reshape ->
+    voxelize at input_size -> evg_augment). The paired image rides along
+    for in-loop CLIP encoding (ClipEncodingPipeline).
     """
 
     def __init__(self, source, cfg: "RawPretrainDataConfig",
@@ -478,6 +510,9 @@ class RawPretrainPipeline:
             self.rng.shuffle(order)
         bs = self.batch_size
         cap = cfg.fix_events_num
+        augmenting = self.train and cfg.stream_augment
+        # +1% packing headroom: erase_and_add may grow a full window
+        pack_cap = cap + max(cap // 100, 1) if augmenting else cap
         for b in range(len(self)):
             idx = order[b * bs : (b + 1) * bs]
             streams, windows, hws, images = [], [], [], []
@@ -497,10 +532,10 @@ class RawPretrainPipeline:
                 hws.append(tuple(item["hw"]))
                 images.append(np.asarray(item["image"], np.uint8))
             self._pack_i ^= 1
-            if self.train and cfg.stream_augment:
+            if augmenting:
                 seeds = self.rng.integers(0, 2 ** 63, len(idx))
                 native_out = augment_pack_event_batch(
-                    streams, windows, hws, cap, seeds,
+                    streams, windows, hws, pack_cap, seeds,
                     out=self._pack_buffers[self._pack_i],
                 )
                 if native_out is not None:
@@ -513,21 +548,24 @@ class RawPretrainPipeline:
                         for s, w, hw in zip(streams, windows, hws)
                     ]
                     packed, counts = pack_event_batch(
-                        py, cap, out=self._pack_buffers[self._pack_i]
+                        py, pack_cap, out=self._pack_buffers[self._pack_i]
                     )
             else:
                 packed, counts = pack_event_batch(
-                    [s[w[0]:w[1]] for s, w in zip(streams, windows)], cap,
+                    [s[w[0]:w[1]] for s, w in zip(streams, windows)], pack_cap,
                     out=self._pack_buffers[self._pack_i],
                 )
             self._pack_buffers[self._pack_i] = packed
+            # events_reshape: rasterize at input resolution, not the sensor
+            # canvas (reference pr_n_imagenet_dataset.py:85-87)
+            _rescale_packed_coords(packed, hws, cfg.input_size)
+            size = cfg.input_size
             if self.train:
                 params = sample_view_params(
-                    self.rng, len(idx), hws[0][0], hws[0][1],
-                    scale_min=cfg.crop_min,
+                    self.rng, len(idx), size, size, scale_min=cfg.crop_min,
                 )
             else:
-                params = identity_view_params(len(idx), hws[0][0], hws[0][1])
+                params = identity_view_params(len(idx), size, size)
             dev_events, dev_t_range, self._enc_buffers[self._pack_i] = (
                 encode_for_transfer(
                     packed, counts, cfg.compact_transfer,
@@ -538,17 +576,149 @@ class RawPretrainPipeline:
             evg = _device_preprocess(
                 dev_events,
                 jnp.asarray(counts),
-                jnp.asarray(np.asarray(hws, np.int32)),
+                jnp.asarray(
+                    np.full((len(idx), 2), size, np.int32)
+                ),
                 params,
                 num_bins=cfg.num_bins,
-                height=cfg.canvas_height,
-                width=cfg.canvas_width,
-                out_size=cfg.input_size,
+                height=size,
+                width=size,
+                out_size=size,
                 mode="nearest",
                 use_evrep=False,
                 t_range=dev_t_range,
             )
             yield {"evg": evg, "image": jnp.asarray(np.stack(images))}
+
+
+class EcdpRawPretrainPipeline:
+    """Raw N-ImageNet ECDP q/k batches (reference PretrainECDPNImageNetDataset,
+    pr_n_imagenet_dataset.py:109-181).
+
+    Each view draws its OWN window + stream augment from the once-loaded
+    raw stream, rescales coordinates to input resolution, builds the
+    2-channel ECDP count image on device, applies an independent
+    crop/resize/flip view augment and the per-image normalization
+    ``x/(amax+1), (x-0.5)*2`` (all inside the shared _device_preprocess
+    with num_bins=2). Yields {'img_q', 'img_k', 'image'} for in-loop CLIP
+    (ClipEncodingPipeline maps image -> clip_emb) or {'img_q', 'img_k',
+    'clip_emb'} when the source provides precomputed embeddings.
+    """
+
+    def __init__(self, source, cfg: "RawPretrainDataConfig",
+                 batch_size: int, train: bool = True, seed: int = 0,
+                 num_workers: int = 8):
+        self.source = source
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.train = train
+        self.rng = np.random.default_rng(seed)
+        self._pack_buffers = [None, None, None, None]
+        self._pack_i = 0
+        from eventpretrain_tpu.data.io_pool import make_pool
+
+        self._pool = make_pool(num_workers)
+
+    def __len__(self) -> int:
+        return max(len(self.source) // self.batch_size, 1)
+
+    def _one_view(self, streams, hws):
+        """Window + stream-augment + rescale + pack one view of the batch."""
+        from eventpretrain_tpu.data.event_transforms import (
+            erase_and_add_events,
+        )
+        from eventpretrain_tpu.native import (
+            augment_pack_event_batch, pack_event_batch,
+        )
+
+        cfg = self.cfg
+        cap = cfg.fix_events_num
+        augmenting = self.train and cfg.stream_augment
+        # erase_and_add can grow a full window by up to 1% (reference keeps
+        # every added event); pack with that headroom
+        pack_cap = cap + max(cap // 100, 1) if augmenting else cap
+        windows = []
+        for ev in streams:
+            n = ev.shape[0]
+            if n > cap:
+                start = int(self.rng.integers(0, n - cap))
+            else:
+                start = 0
+            windows.append((start, min(start + cap, n)))
+        self._pack_i = (self._pack_i + 1) % len(self._pack_buffers)
+        buf = self._pack_buffers[self._pack_i]
+        if augmenting:
+            seeds = self.rng.integers(0, 2 ** 63, len(streams))
+            native_out = augment_pack_event_batch(
+                streams, windows, hws, pack_cap, seeds, out=buf,
+            )
+            if native_out is not None:
+                packed, counts = native_out
+            else:
+                py = [
+                    erase_and_add_events(
+                        self.rng, s[w[0]:w[1]].astype(np.float64), hw
+                    ).astype(np.float32)
+                    for s, w, hw in zip(streams, windows, hws)
+                ]
+                packed, counts = pack_event_batch(py, pack_cap, out=buf)
+        else:
+            packed, counts = pack_event_batch(
+                [s[w[0]:w[1]] for s, w in zip(streams, windows)], pack_cap,
+                out=buf,
+            )
+        self._pack_buffers[self._pack_i] = packed
+        _rescale_packed_coords(packed, hws, cfg.input_size)
+        size = cfg.input_size
+        if self.train:
+            params = sample_view_params(
+                self.rng, len(streams), size, size, scale_min=cfg.crop_min,
+            )
+        else:
+            params = identity_view_params(len(streams), size, size)
+        from eventpretrain_tpu.data.cls_pipeline import _device_preprocess
+
+        return _device_preprocess(
+            jnp.asarray(packed),
+            jnp.asarray(counts),
+            jnp.asarray(np.full((len(streams), 2), size, np.int32)),
+            params,
+            num_bins=2,
+            height=size,
+            width=size,
+            out_size=size,
+            mode="nearest",
+        )
+
+    def __iter__(self) -> Iterator[dict]:
+        from eventpretrain_tpu.data.io_pool import map_loads
+
+        cfg = self.cfg
+        order = np.arange(len(self.source))
+        if self.train:
+            self.rng.shuffle(order)
+        bs = self.batch_size
+        for b in range(len(self)):
+            idx = order[b * bs : (b + 1) * bs]
+            streams, hws, extras = [], [], []
+            for item in map_loads(self.source.load, idx, self._pool):
+                streams.append(
+                    np.ascontiguousarray(item["events"], np.float32)
+                )
+                hws.append(tuple(item["hw"]))
+                if "clip_emb" in item:
+                    emb = np.asarray(item["clip_emb"], np.float32)
+                    # ECDP consumes the CLS embedding (B, 512); trees store
+                    # the full (197, 512) token grid
+                    extras.append(emb[0] if emb.ndim == 2 else emb)
+                else:
+                    extras.append(np.asarray(item["image"], np.uint8))
+            img_q = self._one_view(streams, hws)
+            img_k = self._one_view(streams, hws)
+            out = {"img_q": img_q, "img_k": img_k}
+            key = "clip_emb" if extras and extras[0].ndim == 1 else "image"
+            out[key] = jnp.asarray(np.stack(extras))
+            yield out
 
 
 @dataclasses.dataclass(frozen=True)
@@ -574,10 +744,15 @@ class ClipEncodingPipeline:
     sequence the adj/con objectives consume.
     """
 
-    def __init__(self, inner, clip_model, clip_params, dtype=jnp.float32):
+    def __init__(self, inner, clip_model, clip_params, dtype=jnp.float32,
+                 cls_only: bool = False):
         self.inner = inner
         self.clip_model = clip_model
         self.clip_params = clip_params
+        # ECDP consumes only the projected CLS embedding (B, 512)
+        # (reference pr_ecdp_hub_model.py:99 clip_emb Linear on the pooled
+        # embedding); adj/con consume the full (B, 197, 512) token grid
+        self.cls_only = cls_only
 
         @jax.jit
         def encode(params, images):
@@ -597,5 +772,6 @@ class ClipEncodingPipeline:
     def __iter__(self) -> Iterator[dict]:
         for batch in self.inner:
             out = {k: v for k, v in batch.items() if k != "image"}
-            out["clip_emb"] = self._encode(self.clip_params, batch["image"])
+            emb = self._encode(self.clip_params, batch["image"])
+            out["clip_emb"] = emb[:, 0, :] if self.cls_only else emb
             yield out

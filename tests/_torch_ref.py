@@ -104,10 +104,20 @@ def install_main_shims():
         ptflops.get_model_complexity_info = get_model_complexity_info
         sys.modules["ptflops"] = ptflops
     if "clip" not in sys.modules:
+        import torch
+
         clip = types.ModuleType("clip")
 
+        class _ShimClipModel:
+            def encode_image(self, *a, **k):
+                raise NotImplementedError(
+                    "clip shim: in-loop encoding not under test"
+                )
+
         def load(*a, **k):
-            raise NotImplementedError("clip shim: adj-n/con-n not under test")
+            # dataset constructors keep only the preprocess; return a dummy
+            # transform so the -n datasets can be instantiated
+            return _ShimClipModel(), (lambda img: torch.zeros(3, 224, 224))
 
         clip.load = load
         sys.modules["clip"] = clip

@@ -1065,3 +1065,256 @@ def test_cls_trajectory_vs_reference_main(tmp_path, monkeypatch):
     ours = [float(l) for l in losses]
     assert len(ours) == 4
     np.testing.assert_allclose(ours, losses_ref, rtol=2e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# (b continued) raw N-ImageNet paths: rec-n voxel pipeline and the ECDP q/k
+# count-image pipeline vs the reference Datasets
+# (pr_n_imagenet_dataset.py:62-181)
+# ---------------------------------------------------------------------------
+
+
+def build_n_imagenet_tree(root, rng, names=("n01_0001",), n_events=5000,
+                          clip_tree=None, jpegs=False):
+    """Reference N-ImageNet layout: root/<class>/<name>.npz with a
+    structured 'event_data' array (x, y, t[us], p) on a 640x480 sensor;
+    optionally paired <name>.JPEG images and a clip-embedding tree."""
+    import os
+
+    for name in names:
+        cls = name.split("_")[0]
+        os.makedirs(os.path.join(root, cls), exist_ok=True)
+        ev = np.zeros(n_events, dtype=[("x", "<u2"), ("y", "<u2"),
+                                       ("t", "<i8"), ("p", "<i2")])
+        ev["x"] = rng.integers(0, 640, n_events)
+        ev["y"] = rng.integers(0, 480, n_events)
+        ev["t"] = np.sort(rng.integers(0, 50_000_000, n_events))
+        ev["p"] = rng.integers(0, 2, n_events)
+        np.savez(os.path.join(root, cls, name + ".npz"), event_data=ev)
+        if jpegs:
+            from PIL import Image
+
+            d = os.path.join(jpegs, cls)
+            os.makedirs(d, exist_ok=True)
+            img = rng.integers(0, 256, (64, 80, 3)).astype(np.uint8)
+            Image.fromarray(img).save(os.path.join(d, name + ".JPEG"))
+        if clip_tree is not None:
+            d = os.path.join(clip_tree, cls, name)
+            os.makedirs(d, exist_ok=True)
+            emb = rng.standard_normal((197, 512)).astype(np.float32)
+            torch.save(torch.from_numpy(emb),
+                       os.path.join(d, name + "_clip_emb.pt"))
+
+
+class EcdpCoupledRng:
+    """Routes EcdpRawPretrainPipeline's per-view draw sequence onto the
+    reference PretrainECDPNImageNetDataset's (pr_n_imagenet_dataset.py:
+    125-172): per view v, the reference draws seed_v from the ambient
+    stream and RESEEDS to seed_v at each stage (window, stream augment,
+    view augment). This adapter reseeds at the same stage boundaries."""
+
+    def __init__(self, seeds, n_window):
+        self.seeds = list(seeds)
+        self.n = n_window
+        self.view = 0
+        self.phase = "window"
+        self.script = None
+        self._randoms = 0
+
+    def shuffle(self, a):
+        assert len(a) == 1
+
+    def integers(self, low, high=None, size=None):
+        if high is not None and high == 2 ** 63:
+            return np.zeros(size or 1, np.uint64)
+        if self.phase == "window":
+            np.random.seed(self.seeds[self.view])
+            self.phase = "erase"
+            return np.random.randint(low, high, size)
+        if self.phase == "erase":
+            if self.script is None:
+                np.random.seed(self.seeds[self.view])
+                self.script = EraseAddScriptRng(self.n)
+                return self.script.erase_num
+            return self.script.add_num
+        return np.random.randint(low, high, size)
+
+    def choice(self, a, size=None, replace=True, shuffle=True):
+        return self.script.choice(a, size=size, replace=replace)
+
+    def normal(self, loc, scale, size=None):
+        out = self.script.normal(loc, scale, size)
+        if self.script._normal_calls == 3:
+            self.phase = "view"
+            self.script = None
+            np.random.seed(self.seeds[self.view])
+        return out
+
+    def uniform(self, low, high, size=None):
+        return np.random.uniform(low, high, size)
+
+    def random(self, size=None):
+        out = np.random.random(size)
+        self._randoms += 1
+        if self._randoms == 2:  # hflip + tflip drawn: next view
+            self._randoms = 0
+            self.view += 1
+            self.phase = "window"
+        return out
+
+
+@pytest.mark.parametrize("seed", [0, 6])
+def test_raw_n_imagenet_rec_sample_vs_reference(tmp_path, monkeypatch, seed):
+    """PretrainNImageNetDataset rec item (pr_n_imagenet_dataset.py:76-107):
+    raw npz -> window -> stream augment -> coordinate rescale to 224 ->
+    voxelize -> view augment, vs RawPretrainPipeline with coupled draws."""
+    import os
+
+    from tests._torch_ref import install_main_shims
+
+    install_main_shims()
+    from dataset.pretrain.pr_n_imagenet_dataset import (
+        PretrainNImageNetDataset,
+    )
+
+    from eventpretrain_tpu.data import pretrain_pipeline as ppl
+
+    root = os.path.join(str(tmp_path), "nin")
+    img_root = os.path.join(str(tmp_path), "imagenet")
+    build_n_imagenet_tree(root, np.random.default_rng(seed + 70),
+                          jpegs=img_root)
+
+    args = ref_args(
+        num_bins=5, num_classes=1, input_size=48, crop_min=0.8,
+        fix_events_num=3000, img_sensor_w=640, img_sensor_h=480,
+        n_imagenet_train_root=root, imagenet_root=img_root,
+    )
+    np.random.seed(seed)
+    ref_item = PretrainNImageNetDataset(args)[0]
+
+    src = ppl.NImageNetPairedSource(root, imagenet_root=img_root)
+    cfg = ppl.RawPretrainDataConfig(
+        num_bins=5, input_size=48, crop_min=0.8, fix_events_num=3000,
+        compact_transfer=False,
+    )
+    pipe = ppl.RawPretrainPipeline(src, cfg, 1, train=True, seed=0,
+                                   num_workers=0)
+    np.random.seed(seed)
+    pipe.rng = PipelineCoupledRng(3000)
+    monkeypatch.setattr(ppl, "augment_pack_event_batch",
+                        lambda *a, **k: None, raising=False)
+    import eventpretrain_tpu.native as native_mod
+
+    monkeypatch.setattr(native_mod, "augment_pack_event_batch",
+                        lambda *a, **k: None)
+    batch = next(iter(pipe))
+    np.testing.assert_allclose(
+        np.asarray(batch["evg"][0], np.float32).transpose(2, 0, 1),
+        np.asarray(ref_item["events_voxel_grid"]),
+        atol=1e-4, rtol=1e-4,
+    )
+
+
+@pytest.mark.parametrize("seed", [1, 9])
+def test_raw_n_imagenet_ecdp_sample_vs_reference(tmp_path, monkeypatch,
+                                                 seed):
+    """PretrainECDPNImageNetDataset q/k item (pr_n_imagenet_dataset.py:
+    125-181) vs EcdpRawPretrainPipeline: two independently windowed +
+    augmented views -> 2-chan ECDP count images -> per-image norm, plus the
+    precomputed clip embedding (the reference's load_clip_emb intent)."""
+    import os
+
+    from tests._torch_ref import install_main_shims
+
+    install_main_shims()
+    from dataset.pretrain.pr_n_imagenet_dataset import (
+        PretrainECDPNImageNetDataset,
+    )
+
+    from eventpretrain_tpu.data import pretrain_pipeline as ppl
+
+    root = os.path.join(str(tmp_path), "nin")
+    clip_tree = os.path.join(str(tmp_path), "clip")
+    build_n_imagenet_tree(root, np.random.default_rng(seed + 80),
+                          clip_tree=clip_tree)
+
+    args = ref_args(
+        num_bins=2, num_classes=1, input_size=48, crop_min=0.8,
+        fix_events_num=3000, img_sensor_w=640, img_sensor_h=480,
+        n_imagenet_train_root=root, imagenet_root=root,
+    )
+    ref_ds = PretrainECDPNImageNetDataset(args)
+    # the reference reads self.imagenet_clip_emb_root, an attribute its
+    # constructor never assigns (pr_n_imagenet_dataset.py:118) — set it to
+    # make the evidently-intended path runnable
+    ref_ds.imagenet_clip_emb_root = clip_tree
+    np.random.seed(seed)
+    ref_item = ref_ds[0]
+
+    src = ppl.NImageNetPairedSource(root, clip_emb_root=clip_tree)
+    cfg = ppl.RawPretrainDataConfig(
+        num_bins=2, input_size=48, crop_min=0.8, fix_events_num=3000,
+        compact_transfer=False,
+    )
+    pipe = ppl.EcdpRawPretrainPipeline(src, cfg, 1, train=True, seed=0,
+                                       num_workers=0)
+    # derive (seed_q, seed_k) by replaying the reference's exact stream:
+    # each stage reseeds to seed_q, so seed_k is drawn from the stream
+    # state left by evg_augment's reseeded view draws
+    # (pr_n_imagenet_dataset.py:133-152)
+    n_win = 3000
+    np.random.seed(seed)
+    seed_q = int(np.random.randint(1000))
+    np.random.seed(seed_q)
+    np.random.randint(0, 5000 - n_win)            # get_random_index
+    np.random.seed(seed_q)
+    EraseAddScriptRng(n_win)                      # events_augment draws
+    np.random.seed(seed_q)
+    sample_crop(LegacyRng(), 48, 48, (0.8, 1.0))  # evg_augment: crop
+    np.random.random()                            # hflip
+    np.random.random()                            # tflip
+    seed_k = int(np.random.randint(1000))
+    pipe.rng = EcdpCoupledRng([seed_q, seed_k], n_win)
+    import eventpretrain_tpu.native as native_mod
+
+    monkeypatch.setattr(native_mod, "augment_pack_event_batch",
+                        lambda *a, **k: None)
+    batch = next(iter(pipe))
+    np.testing.assert_allclose(
+        np.asarray(batch["img_q"][0], np.float32).transpose(2, 0, 1),
+        np.asarray(ref_item["events_image_q"]), atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(batch["img_k"][0], np.float32).transpose(2, 0, 1),
+        np.asarray(ref_item["events_image_k"]), atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(batch["clip_emb"][0]),
+        np.asarray(ref_item["clip_emb"])[0], atol=0,
+    )
+
+
+def test_main_ecdp_raw_n_imagenet_smoke(tmp_path):
+    """cli.pretrain --pr_phase ecdp --dataset n_imagenet end-to-end smoke on
+    a fixture tree with a precomputed clip-embedding tree (reference
+    main_pretrain.py:187-188 pr_phase='ecdp' dispatch)."""
+    import os
+
+    from eventpretrain_tpu.cli import pretrain as cli_pretrain
+
+    root = os.path.join(str(tmp_path), "nin")
+    clip_tree = os.path.join(str(tmp_path), "clip")
+    build_n_imagenet_tree(
+        root, np.random.default_rng(7),
+        names=["n01_0001", "n01_0002", "n02_0001", "n02_0002"],
+        n_events=2000, clip_tree=clip_tree,
+    )
+    state = cli_pretrain.main([
+        "--pr_phase", "ecdp", "--dataset", "n_imagenet",
+        "--n_imagenet_root", root, "--clip_emb_root", clip_tree,
+        "--input_size", "32", "--fix_events_num", "1000",
+        "--epochs", "1", "--batch_size", "2", "--num_workers", "0",
+        "--no-bf16", "--print_freq", "1",
+        "--output_dir", os.path.join(str(tmp_path), "out"),
+    ])
+    assert state is not None
