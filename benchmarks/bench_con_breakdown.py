@@ -1,8 +1,9 @@
 """Stage-2/3 con step breakdown: dense encoder vs heads+loss vs optimizer.
 
-The con step measured 174 ms at bs128 (bench_all_steps.py) — ~22 TFLOP/s
-naive encoder accounting, well under the rec encoder's efficiency. This
-splits the step to find where the time goes.
+Splits the 174 ms bs128 con step (bench_all_steps.py) into encoder,
+projector/predictor heads, InfoNCE, and optimizer windows, and prints the
+achieved TFLOP/s of each against its nominal fwd+bwd FLOPs — the measured
+basis for the con roofline argument in BASELINE.md.
 """
 
 import time
@@ -17,6 +18,19 @@ from eventpretrain_tpu.train import TrainState, build_optimizer
 from eventpretrain_tpu.train.steps import make_con_step
 
 B = 128
+L, C, MLP = 196, 768, 4096
+
+
+def flops_con(b=B):
+    """Nominal fwd FLOPs (2*MACs) of each con-step part at bs ``b``."""
+    enc_blk = 24 * L * C * C + 4 * L * L * C          # qkv+proj+mlp + scores
+    enc = 12 * enc_blk * b
+    tok = b * L
+    proj = 2 * tok * (C * MLP + MLP * MLP + MLP * C)  # 3-layer projector
+    pred = 2 * tok * (C * MLP + MLP * C)              # 2-layer predictor
+    clip = 2 * b * L * 512 * C                        # clip_emb_proj
+    nce = 2 * b * b * L * C                           # nlc,mlc->nlm einsum
+    return enc, proj + pred + clip, nce
 
 
 def timeit(fn, args, iters=12):
@@ -52,8 +66,40 @@ def main():
         )[2]
         return jnp.sum(emb_h.astype(jnp.float32) ** 2)
 
-    print(f"encoder fwd      : {timeit(jax.jit(enc_loss), (params, evg)):7.2f} ms")
-    print(f"encoder fwd+bwd  : {timeit(jax.jit(jax.grad(enc_loss)), (params, evg)):7.2f} ms")
+    f_enc, f_heads, f_nce = flops_con()
+    ms_enc_f = timeit(jax.jit(enc_loss), (params, evg))
+    ms_enc = timeit(jax.jit(jax.grad(enc_loss)), (params, evg))
+    print(f"encoder fwd      : {ms_enc_f:7.2f} ms "
+          f"({f_enc / ms_enc_f / 1e9:5.0f} TFLOP/s)")
+    print(f"encoder fwd+bwd  : {ms_enc:7.2f} ms "
+          f"({3 * f_enc / ms_enc / 1e9:5.0f} TFLOP/s nominal-3x)")
+
+    # heads only: fixed emb_h -> q, plus k path, fwd+bwd over head params
+    emb_h = jax.jit(
+        lambda p, e: hub.apply(
+            {"params": p}, e,
+            method=lambda m, ee: m.backbone.encode_dense(
+                ee, deterministic=True, return_attn=False,
+                return_pyramid=False)[2],
+        )
+    )(params, evg)
+
+    def heads_loss(params, emb_h, clip):
+        (q, k, *_), _ = hub.apply(
+            {"params": params, "batch_stats": stats},
+            emb_h, clip, train=True,
+            method=lambda m, e, c, train: (
+                (m.emb_h_pred(m.emb_h_proj(e, train), train),
+                 m.clip_emb_proj(m.norm_clip_emb(c[:, 1:, :])),
+                 None, None, None),
+            )[0],
+            mutable=["batch_stats"],
+        )
+        return global_token_infonce(q, k)
+
+    ms_heads = timeit(jax.jit(jax.grad(heads_loss)), (params, emb_h, clip))
+    print(f"heads+nce fwd+bwd: {ms_heads:7.2f} ms "
+          f"({(3 * f_heads + f_nce) / ms_heads / 1e9:5.0f} TFLOP/s nominal-3x)")
 
     # full forward_con + InfoNCE, fwd+bwd (no optimizer)
     def con_loss(params, evg, clip):
@@ -64,7 +110,9 @@ def main():
         )
         return global_token_infonce(q, k)
 
-    print(f"con loss fwd+bwd : {timeit(jax.jit(jax.grad(con_loss)), (params, evg, clip)):7.2f} ms")
+    ms_con = timeit(jax.jit(jax.grad(con_loss)), (params, evg, clip))
+    print(f"con loss fwd+bwd : {ms_con:7.2f} ms "
+          f"({(3 * (f_enc + f_heads) + f_nce) / ms_con / 1e9:5.0f} TFLOP/s nominal-3x)")
 
     # full step
     tx = build_optimizer(

@@ -131,6 +131,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="after training, write the final params as a "
                         "reference-dialect torch .pth (ckpt/torch_export.py) "
                         "loadable by the reference's --finetune/eval scripts")
+    p.add_argument("--export_serving", default=None,
+                   help="after training, freeze the logits fn into a "
+                        "serving artifact at this path "
+                        "(utils/export_infer.py; the reference has no "
+                        "serving story)")
+    p.add_argument("--serving_native", action="store_true",
+                   help="TPU-native serving bundle (fused Pallas kernels "
+                        "kept, concrete batch buckets) instead of the "
+                        "portable symbolic-batch StableHLO artifact")
+    p.add_argument("--serving_batch_sizes", default="1,8,64",
+                   help="comma-separated batch buckets for --serving_native")
     p.add_argument("--resume", default=None)
     p.add_argument("--auto_resume", action="store_true",
                    help="resume from the latest checkpoint in output_dir if "
@@ -506,6 +517,38 @@ def main(args=None):
         from eventpretrain_tpu.ckpt.torch_export import save_torch_checkpoint
 
         print(f"exported {save_torch_checkpoint(args.export_torch, state.params, batch_stats=getattr(state, 'batch_stats', None), epoch=args.epochs)}")
+    if args.export_serving and jax.process_index() == 0:
+        from eventpretrain_tpu.utils.export_infer import (
+            export_inference,
+            export_inference_bundle,
+        )
+
+        vars_final = {"params": state.params}
+        if getattr(state, "batch_stats", None):
+            vars_final["batch_stats"] = state.batch_stats
+        # serving consumes the pipeline's raw representation: 3-chan events
+        # when EvRepSL preprocessing is baked into the artifact
+        ser_chans = 3 if args.use_evrepsl else in_chans
+
+        def _serving_logits(evg):
+            x = preprocess_fn(evg) if preprocess_fn is not None else evg
+            return hub.apply(vars_final, x, train=False)[1]
+
+        example = jnp.zeros(
+            (1, args.input_size, args.input_size, ser_chans), jnp.float32
+        )
+        if args.serving_native:
+            sizes = tuple(
+                int(s) for s in args.serving_batch_sizes.split(",") if s
+            )
+            out = export_inference_bundle(
+                _serving_logits, example, args.export_serving,
+                batch_sizes=sizes, native=True,
+            )
+        else:
+            out = export_inference(_serving_logits, example,
+                                   args.export_serving)
+        print(f"exported serving artifact {out}")
     wait_for_saves()  # drain async checkpoint writes before returning
     return best_acc
 

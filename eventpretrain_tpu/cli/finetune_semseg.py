@@ -127,6 +127,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="after training, write the final params (incl. BN "
                         "running stats) as a reference-dialect torch .pth "
                         "(ckpt/torch_export.py)")
+    p.add_argument("--export_serving", default=None,
+                   help="after training, freeze the decode-logits fn into a "
+                        "serving artifact at this path "
+                        "(utils/export_infer.py; the reference has no "
+                        "serving story)")
+    p.add_argument("--serving_native", action="store_true",
+                   help="TPU-native serving bundle (fused Pallas kernels "
+                        "kept, concrete batch buckets) instead of the "
+                        "portable symbolic-batch StableHLO artifact")
+    p.add_argument("--serving_batch_sizes", default="1,8",
+                   help="comma-separated batch buckets for --serving_native")
     p.add_argument("--resume", default=None)
     p.add_argument("--auto_resume", action="store_true",
                    help="resume from the latest checkpoint in output_dir if "
@@ -358,6 +369,36 @@ def main(args=None):
         from eventpretrain_tpu.ckpt.torch_export import save_torch_checkpoint
 
         print(f"exported {save_torch_checkpoint(args.export_torch, state.params, batch_stats=getattr(state, 'batch_stats', None), epoch=args.epochs)}")
+    if args.export_serving and jax.process_index() == 0:
+        from eventpretrain_tpu.utils.export_infer import (
+            export_inference,
+            export_inference_bundle,
+        )
+
+        vars_final = {"params": state.params}
+        if getattr(state, "batch_stats", None):
+            vars_final["batch_stats"] = state.batch_stats
+
+        def _serving_logits(evg):
+            # decode-head logits at feature resolution (callers upsample to
+            # label size exactly as eval does)
+            return hub.apply(vars_final, evg, train=False)[2]
+
+        example = jnp.zeros(
+            (1, args.input_size, args.input_size, args.num_bins), jnp.float32
+        )
+        if args.serving_native:
+            sizes = tuple(
+                int(s) for s in args.serving_batch_sizes.split(",") if s
+            )
+            out = export_inference_bundle(
+                _serving_logits, example, args.export_serving,
+                batch_sizes=sizes, native=True,
+            )
+        else:
+            out = export_inference(_serving_logits, example,
+                                   args.export_serving)
+        print(f"exported serving artifact {out}")
     wait_for_saves()  # drain async checkpoint writes before returning
     return best_miou
 

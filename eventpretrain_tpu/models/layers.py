@@ -30,10 +30,13 @@ from eventpretrain_tpu.ops.fused_mlp import (
 )
 
 def _fused_auto_default() -> bool:
-    """Auto-enable fused Pallas kernels: TPU backend only, and never while
-    utils/export_infer.py is tracing a portable serving artifact."""
-    from eventpretrain_tpu.ops.pallas_common import xla_forced
+    """Auto-enable fused Pallas kernels: TPU backend only, unless
+    utils/export_infer.py overrides — force_xla() while tracing a portable
+    serving artifact, force_fused() while tracing a TPU-native one."""
+    from eventpretrain_tpu.ops.pallas_common import fused_forced, xla_forced
 
+    if fused_forced():
+        return True
     return jax.default_backend() == "tpu" and not xla_forced()
 
 

@@ -13,25 +13,42 @@ import jax
 import jax.numpy as jnp
 from jax.experimental.pallas import tpu as pltpu
 
-# Trace-time override for the fused-kernel auto-enable gates: inside
-# force_xla() the models trace their portable XLA path regardless of the
-# host backend. Used by utils/export_infer.py — a serving artifact must not
-# bake in pallas_call (symbolic batch grids are unsupported, and the host
-# backend at export time need not match the serving platform).
-_FORCE_XLA = [False]
+# Trace-time override for the fused-kernel auto-enable gates. None = auto
+# (fused iff the host backend is TPU); False = force the portable XLA path
+# (utils/export_infer.py portable artifacts — pallas_call cannot stage a
+# symbolic batch grid and the artifact must not depend on the export
+# host's backend); True = force the fused kernels regardless of host
+# backend (TPU-native exports: Mosaic cross-lowers from CPU hosts, so CI
+# can bake kernel-full TPU artifacts).
+_FUSED_OVERRIDE: list = [None]
 
 
 @contextlib.contextmanager
 def force_xla():
-    _FORCE_XLA[0] = True
+    prev = _FUSED_OVERRIDE[0]
+    _FUSED_OVERRIDE[0] = False
     try:
         yield
     finally:
-        _FORCE_XLA[0] = False
+        _FUSED_OVERRIDE[0] = prev
+
+
+@contextlib.contextmanager
+def force_fused():
+    prev = _FUSED_OVERRIDE[0]
+    _FUSED_OVERRIDE[0] = True
+    try:
+        yield
+    finally:
+        _FUSED_OVERRIDE[0] = prev
 
 
 def xla_forced() -> bool:
-    return _FORCE_XLA[0]
+    return _FUSED_OVERRIDE[0] is False
+
+
+def fused_forced() -> bool:
+    return _FUSED_OVERRIDE[0] is True
 
 # The kernels' f32 dW accumulators + resident weights legitimately need
 # more than the 16 MB default scoped-VMEM budget at C=512/768; raise the

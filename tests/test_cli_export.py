@@ -29,6 +29,30 @@ def test_pretrain_cli_exports_torch_checkpoint(tmp_path):
     assert all(np.isfinite(np.asarray(v)).all() for v in sd.values())
 
 
+def test_cls_cli_exports_serving_artifact(tmp_path):
+    """--export_serving freezes the trained logits fn; the deserialized
+    artifact reproduces the live model on arbitrary batch sizes."""
+    import jax
+    import jax.numpy as jnp
+
+    from eventpretrain_tpu.cli import finetune_cls
+    from eventpretrain_tpu.utils.export_infer import load_inference
+
+    out = tmp_path / "run"
+    art = tmp_path / "cls.stablehlo"
+    finetune_cls.main([
+        "--dataset", "synthetic", "--epochs", "1", "--batch_size", "4",
+        "--input_size", "32", "--model_size", "small",
+        "--num_classes", "2",
+        "--output_dir", str(out), "--export_serving", str(art),
+    ])
+    assert art.exists()
+    infer = load_inference(str(art))
+    logits = infer(jnp.zeros((3, 32, 32, 5), jnp.float32))
+    assert logits.shape == (3, 2)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+
 def test_cls_cli_exports_torch_checkpoint(tmp_path):
     from eventpretrain_tpu.cli import finetune_cls
 
