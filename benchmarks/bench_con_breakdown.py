@@ -34,12 +34,21 @@ def flops_con(b=B):
 
 
 def timeit(fn, args, iters=12):
+    # pre-materialize the varied inputs: building them lazily inside the
+    # timing loop (e.g. jnp.roll with a per-iteration static shift) would
+    # compile one tiny program per iteration through the axon relay and
+    # swamp the measurement; inputs must still vary so the relay's
+    # (executable, inputs) cache cannot hit
+    variants = [
+        jnp.roll(args[1], i + 1, axis=0).block_until_ready()
+        for i in range(iters)
+    ]
     out = fn(*args)
     jax.tree.map(lambda a: a.block_until_ready(), out)
     t0 = time.perf_counter()
     last = None
-    for i in range(iters):
-        last = fn(args[0], jnp.roll(args[1], i + 1, axis=0), *args[2:])
+    for v in variants:
+        last = fn(args[0], v, *args[2:])
     float(jnp.sum(jax.tree.leaves(last)[0]))
     return (time.perf_counter() - t0) / iters * 1e3
 
@@ -124,11 +133,14 @@ def main():
     step = make_con_step(hub)
     batch = {"evg": evg, "clip_emb": clip}
     key = jax.random.key(0)
+    # pre-materialize per-step keys (fold_in with a static int would compile
+    # a new program per iteration through the relay — see timeit)
+    keys = [jax.random.fold_in(key, i).block_until_ready() for i in range(12)]
     state, m = step(state, batch, key)
     float(m["loss"])
     t0 = time.perf_counter()
-    for i in range(12):
-        state, m = step(state, batch, jax.random.fold_in(key, i))
+    for k in keys:
+        state, m = step(state, batch, k)
     float(m["loss"])
     full = (time.perf_counter() - t0) / 12 * 1e3
     print(f"full con step    : {full:7.2f} ms ({B / (full / 1e3):.0f} samples/s)")
