@@ -59,12 +59,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--epochs", type=int, default=50)
     p.add_argument("--warmup_epochs", type=float, default=2)
-    p.add_argument("--blr", type=float, default=2.5e-4)
+    p.add_argument("--blr", type=float, default=1e-3,
+                   help="reference dense-task base lr (main_finetune_semseg.py:65,\n                        main_finetune_flow.py:59)")
     p.add_argument("--min_lr", type=float, default=1e-6)
     p.add_argument("--weight_decay", type=float, default=0.05)
     p.add_argument("--layer_decay", type=float, default=0.75)
     p.add_argument("--use_layer_decay", action="store_true")
-    p.add_argument("--clip_grad", type=float, default=5.0)
+    p.add_argument("--clip_grad", type=float, default=3.0,
+                   help="reference dense-task clip (main_finetune_semseg.py:106)")
     p.add_argument("--w_decode_loss", type=float, default=1.0)
     p.add_argument("--w_auxiliary_loss", type=float, default=0.4)
     p.add_argument("--drop_path_rate", type=float, default=0.1)
@@ -84,6 +86,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(reference --use_checkpoint / torch "
                         "utils.checkpoint)")
     p.add_argument("--finetune", default=None)
+    p.add_argument("--feed_batches", default=None,
+                   help="replay a pickled list of train batch dicts instead "
+                        "of the dataset pipeline and skip validation "
+                        "(deterministic debugging; the trajectory A/B in "
+                        "tests/test_dense_dataset_parity.py feeds this CLI "
+                        "and the reference main identical batches)")
     p.add_argument("--lenient_import", action="store_true",
                    help="allow torch --finetune files that do not cover "
                         "every backbone param (reference strict=False)")
@@ -198,7 +206,16 @@ def main(args=None):
             strict_backbone=not args.lenient_import,
         )
 
-    steps_per_epoch = max(len(train_src) // local_bs, 1)
+    feed = None
+    if args.feed_batches:
+        import pickle
+
+        with open(args.feed_batches, "rb") as f:
+            feed = pickle.load(f)
+    steps_per_epoch = (
+        max(len(feed) // args.epochs, 1) if feed is not None
+        else max(len(train_src) // local_bs, 1)
+    )
     lr = (args.lr if args.lr is not None
           else args.blr * args.batch_size / 256)
     schedule = cosine_warmup_schedule(
@@ -254,8 +271,15 @@ def main(args=None):
     key = jax.random.key(args.seed)
     for epoch in range(args.epochs):
         t0 = time.time()
-        pipe = DensePipeline(train_src, cfg, local_bs, train=True,
-                             seed=args.seed + epoch)
+        if feed is not None:
+            pipe = [
+                {k: jnp.asarray(v) for k, v in b.items()}
+                for b in feed[epoch * steps_per_epoch:
+                              (epoch + 1) * steps_per_epoch]
+            ]
+        else:
+            pipe = DensePipeline(train_src, cfg, local_bs, train=True,
+                                 seed=args.seed + epoch)
         if mesh is not None:
             from eventpretrain_tpu.parallel import ShardedPipeline
 
@@ -269,6 +293,10 @@ def main(args=None):
             )
         record = {"epoch": epoch,
                   **{f"train_{k}": v for k, v in train_metrics.items()}}
+        if feed is not None:
+            # batch replay has no val datasets: record train metrics only
+            append_log_line(args.output_dir, record)
+            continue
         for split, src in val_srcs.items():
             val_pipe = DensePipeline(src, cfg, local_bs, train=False,
                                      seed=args.seed)

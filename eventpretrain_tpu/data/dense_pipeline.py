@@ -83,13 +83,21 @@ def _device_preprocess(
         from eventpretrain_tpu.data.codec import decode_events_u32
 
         events = decode_events_u32(events, t_range)
-    evg = build_representation(
+    from eventpretrain_tpu.data.representations import (
+        normalize_representation,
+    )
+
+    evg_org = build_representation(
         events, counts, num_bins=num_bins, height=height, width=width
     )
     evg = apply_view_augment(
-        evg, params, (out_size, out_size), resize_mode,
+        evg_org, params, (out_size, out_size), resize_mode,
         negate_on_tflip=num_bins in (5, 6),
     )
+    # per-sample ECDP/MEM normalization runs AFTER the view augment, exactly
+    # like the reference dense datasets (ft_dsec_dataset.py:260-265,
+    # ft_ddd17_dataset.py:159-164, ft_mvsec_dataset.py:241-249)
+    evg = normalize_representation(evg, num_bins)
     out = {"evg": evg}
     if task == "semseg":
         out["label"] = apply_semseg_label_augment(
@@ -102,6 +110,19 @@ def _device_preprocess(
         out["valid"] = apply_flow_valid_augment(
             valid, params, (label_h, label_w)
         )
+        # sparse val mask from the UNAUGMENTED original-resolution grid
+        # (reference ft_flow_trainer.py:198-199 uses events_voxel_grid_org,
+        # not the network input); train steps ignore this key
+        presence = (
+            jnp.linalg.norm(evg_org.astype(jnp.float32), axis=-1) > 0
+        ).astype(jnp.float32)
+        if presence.shape[1:] != (label_h, label_w):
+            from eventpretrain_tpu.ops.reshape import resize
+
+            presence = resize(
+                presence[..., None], (label_h, label_w), "nearest"
+            )[..., 0]
+        out["event_mask"] = presence
     return out
 
 
@@ -236,10 +257,15 @@ class DsecSource:
         for seq in sequences:
             path = os.path.join(root, seq)
             label_dir = os.path.join(path, labels_dirname)
-            ts = np.loadtxt(
-                os.path.join(path, "semantic", "left", "timestamps.txt"),
-                dtype=np.int64,
+            # reference layout names the file <seq>_semantic_timestamps.txt
+            # (ft_dsec_dataset.py:70); accept plain timestamps.txt too
+            ts_path = os.path.join(
+                path, "semantic", "left", f"{seq}_semantic_timestamps.txt"
             )
+            if not os.path.exists(ts_path):
+                ts_path = os.path.join(path, "semantic", "left",
+                                       "timestamps.txt")
+            ts = np.loadtxt(ts_path, dtype=np.int64)
             labels = sorted(
                 f for f in os.listdir(label_dir) if f.endswith(".png")
             )
@@ -263,7 +289,9 @@ class DsecSource:
                      rectify=rect, timestamps=ts,
                      labels=[os.path.join(label_dir, f) for f in labels])
             )
-            for li in range(len(ts) // 2):
+            # every other label; odd-length tails keep the final one
+            # (ft_dsec_dataset.py:292-293: (size + 1) // 2)
+            for li in range((len(ts) + 1) // 2):
                 self.items.append((seq_idx, li))
 
     def __len__(self) -> int:
@@ -306,16 +334,30 @@ class DsecSource:
 
 
 class Ddd17Source:
-    """DDD17 semseg reader: int64/int16 memmaps + 50ms index table
-    (parity with reference ft_ddd17_dataset.py:60-127)."""
+    """DDD17 semseg reader over the reference's on-disk layout
+    (parity with reference ft_ddd17_dataset.py:38-127): per sequence,
+    ``events.dat.t`` int64-ns memmap + ``events.dat.xyp`` int16 memmap,
+    ``index/index_50ms.npy`` rows of ``(t_ns, event_idx, event_idx_before)``
+    mapping image j -> last event index, and ``segmentation_masks/*.png``
+    whose filename suffix encodes the 1-based image index. Per item: a
+    backward window of ``window_events_num`` (= train fix + 10000,
+    ft_ddd17_dataset.py:87) events before the label's image, sensor-bounds
+    masked, trimmed to the last ``fix_events_num``. Timestamps pass through
+    float32 exactly like the reference's memmap cast
+    (ft_ddd17_dataset.py:95-97)."""
 
     def __init__(self, root: str, sequences: list[str],
-                 fix_events_num: int = 80_000, extra: int = 10_000,
+                 fix_events_num: int = 80_000,
+                 window_events_num: Optional[int] = None,
                  sensor_hw: tuple[int, int] = (200, 346),
                  labels_dirname: str = "segmentation_masks"):
         self.sensor_hw = sensor_hw
         self.fix_events_num = fix_events_num
-        self.extra = extra
+        self.window_events_num = (
+            window_events_num
+            if window_events_num is not None
+            else fix_events_num + 10_000
+        )
         self.items = []
         self.seqs = []
         for seq in sequences:
@@ -326,7 +368,7 @@ class Ddd17Source:
             xyp_map = np.memmap(
                 os.path.join(path, "events.dat.xyp"), dtype=np.int16, mode="r"
             ).reshape(-1, 3)
-            index = np.load(os.path.join(path, "index_50ms.npy"))
+            index = np.load(os.path.join(path, "index", "index_50ms.npy"))
             label_dir = os.path.join(path, labels_dirname)
             labels = sorted(
                 f for f in os.listdir(label_dir) if f.endswith(".png")
@@ -347,14 +389,20 @@ class Ddd17Source:
 
         seq_idx, li = self.items[index]
         seq = self.seqs[seq_idx]
-        end = int(seq["index"][li])
-        start = max(end - self.fix_events_num - self.extra, 0)
-        t = np.asarray(seq["t"][start:end], np.float64)
-        xyp = np.asarray(seq["xyp"][start:end], np.float64)
+        label_file = os.path.basename(seq["labels"][li])
+        # image index from the label filename (ft_ddd17_dataset.py:113)
+        img_index = int(label_file[:-4].split("_")[-1]) - 1
+        end = int(seq["index"][img_index][1])
+        start = max(end - self.window_events_num, 0)
+        t = np.asarray(seq["t"][start:end], np.float32)
+        xyp = np.asarray(seq["xyp"][start:end], np.float32)
         events = np.stack([xyp[:, 0], xyp[:, 1], t, xyp[:, 2]], axis=-1)
-        events = events[-self.fix_events_num:]
+        h, w = self.sensor_hw
+        keep = ((events[:, 0] >= 0) & (events[:, 0] < w)
+                & (events[:, 1] >= 0) & (events[:, 1] < h))
+        events = events[keep][-self.fix_events_num:]
         label = np.array(Image.open(seq["labels"][li]), np.int32)
-        return {"events": events, "label": label}
+        return {"events": events.astype(np.float64), "label": label}
 
 
 class SyntheticDenseSource:

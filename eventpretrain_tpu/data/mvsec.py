@@ -137,6 +137,14 @@ class MvsecSource:
         e1 = int(self.image_event_inds[raw])
         e2 = int(self.image_event_inds[raw + self.skip_num])
         events = np.asarray(self.events[e1:e2], np.float64)  # (N,4) xytp
+        # MVSEC timestamps are absolute epoch seconds (~1.5e9); the device
+        # path carries events as float32, which would quantize them to
+        # ~128 s steps and collapse the voxel time axis. Rebase to the
+        # first image timestamp in float64 on host: the reference's
+        # normalization (t - t0)/(tN - t0) is shift-invariant, so this is
+        # value-preserving parity-wise (ft_mvsec_dataset.py:207,229).
+        if events.shape[0] > 0:
+            events[:, 2] -= t1
 
         left = int(np.searchsorted(self.flow_dist_ts, t1, side="right")) - 1
         right = int(np.searchsorted(self.flow_dist_ts, t2, side="right"))
