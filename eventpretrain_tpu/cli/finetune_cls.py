@@ -177,33 +177,49 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+# reference events_reshape placement per dataset (see ClsDataConfig
+# .rescale_to_input): N-ImageNet rescales coords for every representation
+# (ft_n_imagenet_dataset.py:92-93); CIFAR10-DVS/DVS128/UCF101 only for the
+# ECDP image (ft_cifar10_dvs_dataset.py:69-72 and siblings)
+_RESCALE_MODE = {
+    "n_imagenet": "always",
+    "cifar10_dvs": "ecdp",
+    "dvs128_gesture": "ecdp",
+    "ucf101_dvs": "ecdp",
+}
+
+
 def make_sources(args):
-    """Returns (train, val, extra_vals: dict, sensor_hw or None)."""
+    """Returns (train, val, extra_vals: dict, sensor_hw or None, rescale)."""
     from eventpretrain_tpu.data import cls_sources as cs
 
+    rescale = _RESCALE_MODE.get(args.dataset, "never")
     if args.dataset == "synthetic":
         train = SyntheticClsSource(args.num_classes, 64, seed=args.seed)
         val = SyntheticClsSource(args.num_classes, 16, seed=args.seed + 1000)
-        return train, val, {}, None
+        return train, val, {}, None, rescale
     assert args.train_root and args.val_root, (
         f"--train_root/--val_root required for {args.dataset}"
     )
     if args.dataset == "n_cars":
         # sensor size inferred from event maxima per sample
-        return NCarsSource(args.train_root), NCarsSource(args.val_root), {}, None
+        return (NCarsSource(args.train_root), NCarsSource(args.val_root),
+                {}, None, rescale)
     factories = {
         "n_caltech101": lambda root: cs.NCaltech101Source(root),
-        "cifar10_dvs": lambda root: cs.Cifar10DvsSource(root, args.input_size),
+        "cifar10_dvs": lambda root: cs.Cifar10DvsSource(root),
         "dvs128_gesture": lambda root: cs.Dvs128GestureSource(root),
         "ucf101_dvs": lambda root: cs.Ucf101DvsSource(root),
         "n_imagenet": lambda root: cs.NImageNetSource(
-            root, args.input_size, args.num_classes),
+            root, args.num_classes),
         "es_imagenet": None,
     }
     if args.dataset == "es_imagenet":
         assert args.es_train_label and args.es_val_label
-        train = cs.EsImageNetSource(args.train_root, args.es_train_label)
-        val = cs.EsImageNetSource(args.val_root, args.es_val_label)
+        train = cs.EsImageNetSource(args.train_root, args.es_train_label,
+                                    args.num_classes)
+        val = cs.EsImageNetSource(args.val_root, args.es_val_label,
+                                  args.num_classes)
     else:
         make = factories[args.dataset]
         train, val = make(args.train_root), make(args.val_root)
@@ -212,11 +228,7 @@ def make_sources(args):
         for root in args.val_variant_roots:
             extra[os.path.basename(root.rstrip("/"))] = factories[
                 "n_imagenet"](root)
-    sensor_hw = train.sensor_hw
-    if args.dataset in ("cifar10_dvs", "n_imagenet"):
-        # coords pre-rescaled to input resolution
-        sensor_hw = (args.input_size, args.input_size)
-    return train, val, extra, sensor_hw
+    return train, val, extra, train.sensor_hw, rescale
 
 
 def main(args=None):
@@ -228,7 +240,7 @@ def main(args=None):
         maybe_initialize_distributed()
     np.random.seed(args.seed)
 
-    train_src, val_src, extra_vals, sensor_hw = make_sources(args)
+    train_src, val_src, extra_vals, sensor_hw, rescale = make_sources(args)
     if args.data_parallel and jax.process_count() > 1:
         from eventpretrain_tpu.parallel import (
             HostShardedSource,
@@ -242,8 +254,15 @@ def main(args=None):
         local_bs = local_batch_size(args.batch_size)
     else:
         local_bs = args.batch_size
+    rescale_active = rescale == "always" or (
+        rescale == "ecdp" and args.num_bins == 2
+    )
     if sensor_hw is not None:
-        canvas = sensor_hw
+        # with an active coordinate rescale the raster happens at the input
+        # resolution (reference rasters at input_size after events_reshape);
+        # otherwise at the dataset's fixed sensor size
+        canvas = ((args.input_size, args.input_size) if rescale_active
+                  else sensor_hw)
         infer = False
     else:
         canvas = tuple(args.canvas)
@@ -260,6 +279,9 @@ def main(args=None):
         event_noise=args.val_event_noise,
         use_evrep=args.use_evrepsl,
         resize_mode=args.resize_mode,
+        sensor_height=None if sensor_hw is None else sensor_hw[0],
+        sensor_width=None if sensor_hw is None else sensor_hw[1],
+        rescale_to_input=rescale,
     )
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32

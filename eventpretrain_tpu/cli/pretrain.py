@@ -463,6 +463,26 @@ def main(args=None):
                 jax.random.key(args.seed + 1), hub.embed_dim, num_patches,
                 args.queue_length,
             )
+        if args.init_from and args.init_from.endswith((".pth", ".pt",
+                                                       ".bin")):
+            # the reference queue is a registered buffer in the checkpoint
+            # (pr_hub_model.py:85-87); seed ours from it so trajectories
+            # replay exactly (shape (C, L, K) matches QueueState.buffer)
+            from eventpretrain_tpu.ckpt.torch_import import (
+                load_torch_state_dict,
+            )
+
+            sd = load_torch_state_dict(args.init_from)
+            if "queue" in sd and queue_scope == "global":
+                buf = jnp.asarray(np.asarray(sd["queue"], np.float32))
+                ptr = jnp.asarray(
+                    int(np.asarray(sd.get("queue_ptr", 0)).ravel()[0]),
+                    jnp.int32,
+                )
+                assert buf.shape == queue.buffer.shape, (
+                    buf.shape, queue.buffer.shape)
+                queue = queue._replace(buffer=buf, ptr=ptr)
+                print("queue buffer seeded from", args.init_from)
     state = TrainState.create(
         apply_fn=hub.apply, params=params, batch_stats=batch_stats,
         tx=tx, queue=queue,

@@ -65,12 +65,32 @@ class ClsDataConfig:
     use_evrep: bool = False         # EvRepSL 3-channel representation
     compact_transfer: bool = True   # compact event codec (see data/codec.py)
     transfer_codec: str = "u32"     # "u32" (4 B/event) | "u16" (8 B/event)
+    # true sensor size for the stream augment when it differs from the
+    # raster canvas (only meaningful with rescale_to_input != "never")
+    sensor_height: Optional[int] = None
+    sensor_width: Optional[int] = None
+    # reference events_reshape placement (events_augment.py:22-26): some
+    # datasets rescale event coords sensor -> input AFTER the stream augment
+    # and raster at input resolution. "always": every representation
+    # (N-ImageNet, ft_n_imagenet_dataset.py:92-93); "ecdp": num_bins == 2
+    # only (CIFAR10-DVS :69-72, DVS128 :73-76, UCF101 :75-78); "never":
+    # raster at sensor size (N-Cars, N-Caltech101, ES-ImageNet)
+    rescale_to_input: str = "never"
+    # EvRep receives microsecond timestamps (ft_n_caltech101_dataset.py:
+    # 79-80 passes t * 1e6); the source streams carry seconds
+    evrep_time_scale: float = 1e6
+
+    @property
+    def rescale_active(self) -> bool:
+        return self.rescale_to_input == "always" or (
+            self.rescale_to_input == "ecdp" and self.num_bins == 2
+        )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("num_bins", "height", "width", "out_size", "mode",
-                     "use_evrep"),
+                     "use_evrep", "evrep_time_scale"),
 )
 def _device_preprocess(
     events,
@@ -85,6 +105,7 @@ def _device_preprocess(
     mode: str,
     use_evrep: bool = False,
     t_range=None,
+    evrep_time_scale: float = 1e6,
 ):
     if events.dtype == jnp.uint16:
         events = decode_events_u16(events, t_range)
@@ -92,6 +113,12 @@ def _device_preprocess(
         from eventpretrain_tpu.data.codec import decode_events_u32
 
         events = decode_events_u32(events, t_range)
+    if use_evrep and evrep_time_scale != 1.0:
+        # reference feeds EvRep microsecond timestamps (ft_n_caltech101
+        # _dataset.py:79-80); streams carry seconds
+        events = events * jnp.asarray(
+            [1.0, 1.0, evrep_time_scale, 1.0], events.dtype
+        )
     evg = build_representation(
         events, counts, num_bins=num_bins, height=height, width=width,
         sensor_hw=sensor_hw, use_evrep=use_evrep,
@@ -165,10 +192,16 @@ class ClsPipeline:
             view = events[start:end]
             sensor_h = int(view[:, 1].max()) + 1
             sensor_w = int(view[:, 0].max()) + 1
+        elif cfg.sensor_height is not None:
+            sensor_h, sensor_w = cfg.sensor_height, cfg.sensor_width
         else:
             sensor_h, sensor_w = cfg.canvas_height, cfg.canvas_width
-        sensor_h = min(sensor_h, cfg.canvas_height)
-        sensor_w = min(sensor_w, cfg.canvas_width)
+        if not cfg.rescale_active:
+            # the sensor region must fit the raster canvas; with an active
+            # rescale the raster happens at input_size instead, so the true
+            # (possibly larger) sensor size is kept for the stream augment
+            sensor_h = min(sensor_h, cfg.canvas_height)
+            sensor_w = min(sensor_w, cfg.canvas_width)
         return events, (start, end), (sensor_h, sensor_w), label
 
     def _prepare_sample(self, index: int, loaded=None):
@@ -262,6 +295,24 @@ class ClsPipeline:
                     streams, cap, out=self._pack_buffers[self._pack_i]
                 )
             self._pack_buffers[self._pack_i] = packed
+            if cfg.rescale_active:
+                # reference events_reshape (events_augment.py:22-26) AFTER
+                # the stream augment: scale coords sensor -> input and raster
+                # at input resolution (padded rows are zeros; 0 * s == 0).
+                # The multiply runs in f64 and the result is floored on the
+                # host: every downstream rasterizer truncates coords anyway
+                # (reference .long()), and f32 storage of the f64 product
+                # could round 223.999... up across a pixel boundary
+                hw_arr = np.asarray(hws, np.float64)
+                sx = (cfg.input_size / hw_arr[:, 1])[:, None]
+                sy = (cfg.input_size / hw_arr[:, 0])[:, None]
+                packed[:, :, 0] = np.floor(
+                    packed[:, :, 0].astype(np.float64) * sx
+                )
+                packed[:, :, 1] = np.floor(
+                    packed[:, :, 1].astype(np.float64) * sy
+                )
+                hws = [(cfg.input_size, cfg.input_size)] * len(hws)
             params = self._sample_view(hws)
             dev_events, dev_t_range, self._enc_buffers[self._pack_i] = (
                 encode_for_transfer(
@@ -283,6 +334,7 @@ class ClsPipeline:
                 mode=cfg.resize_mode,
                 use_evrep=cfg.use_evrep,
                 t_range=dev_t_range,
+                evrep_time_scale=cfg.evrep_time_scale,
             )
             yield {
                 "evg": evg,

@@ -1,23 +1,36 @@
 """Classification dataset sources for the remaining 6 benchmarks.
 
 Each source yields (events_xytp float64 (N,4), label int) and plugs into
-data.cls_pipeline.ClsPipeline. Format parity with the reference loaders:
+data.cls_pipeline.ClsPipeline. Format parity with the reference loaders
+(verified value-for-value against the imported reference Datasets in
+tests/test_cls_dataset_parity.py):
 
   * N-Caltech101 : root/<class>/<class>_*.npy xytp rows
-                   (ft_n_caltech101_dataset.py:22-50), sensor 240x180
-  * CIFAR10-DVS  : files named *_<class>_*.npy, class at split index 1
-                   (ft_cifar10_dvs_dataset.py:38-48), sensor 128x128,
-                   coords rescaled to input size before rasterizing (:70)
-  * N-ImageNet   : root/<class>/<class>_*.npz structured events; coords
-                   rescaled 640x480 -> input size before voxelize
-                   (ft_n_imagenet_dataset.py:61-93)
+                   (ft_n_caltech101_dataset.py:40-46), sensor 180x240
+                   (cal_sensor_h/w defaults, main_finetune_cls.py:173-174)
+  * CIFAR10-DVS  : root/<class>/*_<class>_*.npy xytp rows
+                   (ft_cifar10_dvs_dataset.py:38-44), sensor 128x128;
+                   the ECDP-only coordinate rescale to the input resolution
+                   happens AFTER the stream augment
+                   (ft_cifar10_dvs_dataset.py:69-72), so it lives in
+                   ClsPipeline (rescale_to_input="ecdp"), not here
+  * N-ImageNet   : root/<class>/<class>_*.npz structured ``event_data``
+                   arrays with x/y/t/p fields, timestamps / 1e6 to seconds
+                   (ft_n_imagenet_dataset.py:61-69); coords rescaled
+                   640x480 -> input AFTER the stream augment for every
+                   representation (:92-93) -> rescale_to_input="always"
   * ES-ImageNet  : npz pos/neg (x,y,t) + per-file (a,b) offsets from a label
                    txt; recentered then cropped 16..240 -> 224
-                   (ft_es_imagenet_dataset.py:36-87)
-  * DVS128       : root/<label>/<file>.npz with x/y/t/p arrays
-                   (ft_dvs128_gesture_dataset.py:23-54), sensor 128x128
+                   (ft_es_imagenet_dataset.py:36-87); class dirs sliced to
+                   the first num_classes (:25)
+  * DVS128       : root/<label>/<file>.npz with x/y/t/p arrays; the label is
+                   the integer directory NAME, not its sorted position
+                   (ft_dvs128_gesture_dataset.py:51-54); sensor 128x128;
+                   ECDP rescale after augment (:73-76) -> "ecdp"
   * UCF101-DVS   : root/<class>/*.mat with x/y/ts/pol columns
-                   (ft_ucf101_dvs_dataset.py:40-50), sensor 240x320
+                   (ft_ucf101_dvs_dataset.py:40-50), sensor 180x240
+                   (ucf_sensor_h/w defaults, main_finetune_cls.py:181-182);
+                   ECDP rescale after augment (:75-78) -> "ecdp"
 """
 
 from __future__ import annotations
@@ -27,15 +40,17 @@ import re
 
 import numpy as np
 
-from eventpretrain_tpu.data.event_transforms import rescale_coords
-
 
 class _ClassDirSource:
     """root/<class>/<file> layout with per-class sorted file lists."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, num_classes: int | None = None):
         self.root = root
         self.classes = sorted(os.listdir(root))
+        if num_classes is not None:
+            # reference slices the sorted class list (ft_es_imagenet_dataset
+            # .py:25, ft_n_imagenet_dataset.py via num_classes assert)
+            self.classes = self.classes[:num_classes]
         self.files: list[tuple[str, int]] = []
         for label, cls in enumerate(self.classes):
             for name in sorted(os.listdir(os.path.join(root, cls))):
@@ -56,65 +71,41 @@ class NCaltech101Source(_ClassDirSource):
 class Cifar10DvsSource(_ClassDirSource):
     sensor_hw = (128, 128)
 
-    def __init__(self, root: str, input_size: int = 224):
-        super().__init__(root)
-        self.input_size = input_size
-
     def load(self, index: int):
         path, label = self.files[index]
-        events = np.load(path).astype(np.float64)
-        # reference rescales CIFAR coords to the input resolution before
-        # rasterizing (ft_cifar10_dvs_dataset.py:70-72)
-        events = rescale_coords(
-            events, self.sensor_hw[1], self.sensor_hw[0],
-            self.input_size, self.input_size,
-        )
-        return events, label
+        return np.load(path).astype(np.float64), label
 
 
 class NImageNetSource(_ClassDirSource):
     sensor_hw = (480, 640)
 
-    def __init__(self, root: str, input_size: int = 224,
-                 num_classes: int | None = None):
-        self.root = root
-        self.classes = sorted(os.listdir(root))
-        if num_classes:
-            self.classes = self.classes[:num_classes]
-        self.files = []
-        for label, cls in enumerate(self.classes):
-            for name in sorted(os.listdir(os.path.join(root, cls))):
-                self.files.append((os.path.join(root, cls, name), label))
-        self.input_size = input_size
+    def __init__(self, root: str, num_classes: int | None = None):
+        super().__init__(root, num_classes)
 
     def load(self, index: int):
         path, label = self.files[index]
         raw = np.load(path)
         arr = raw["event_data"] if "event_data" in getattr(raw, "files", []) \
             else raw
-        if hasattr(arr, "dtype") and arr.dtype.names:
-            events = np.stack(
-                [arr["x"], arr["y"], arr["timestamp"],
-                 arr["polarity"].astype(np.int8)], axis=-1
-            ).astype(np.float64)
-        else:
-            events = np.asarray(arr, np.float64)
-        events = rescale_coords(
-            events, self.sensor_hw[1], self.sensor_hw[0],
-            self.input_size, self.input_size,
-        )
+        # reference ft_n_imagenet_dataset.py:66-69: structured x/y/t/p
+        # fields, microsecond timestamps scaled to seconds
+        events = np.vstack(
+            [arr["x"], arr["y"], arr["t"], arr["p"]]
+        ).T.astype(np.float64)
+        events[:, 2] = events[:, 2] / 1e6
         return events, label
 
 
 class EsImageNetSource(_ClassDirSource):
     sensor_hw = (224, 224)
 
-    def __init__(self, root: str, label_path: str):
-        super().__init__(root)
+    def __init__(self, root: str, label_path: str,
+                 num_classes: int | None = None):
+        super().__init__(root, num_classes)
         self.offsets: dict[str, tuple[int, int]] = {}
         with open(label_path) as f:
             for line in f:
-                parts = line.split(" ")
+                parts = re.split(" ", line)
                 self.offsets[parts[0]] = (int(parts[1]), int(parts[2]))
 
     def load(self, index: int):
@@ -147,6 +138,16 @@ class EsImageNetSource(_ClassDirSource):
 class Dvs128GestureSource(_ClassDirSource):
     sensor_hw = (128, 128)
 
+    def __init__(self, root: str):
+        super().__init__(root)
+        # the reference takes the label from the integer directory NAME
+        # (ft_dvs128_gesture_dataset.py:51-54), which differs from the
+        # sorted position once dirs reach two digits ('10' sorts before '2')
+        self.files = [
+            (path, int(os.path.basename(os.path.dirname(path))))
+            for path, _ in self.files
+        ]
+
     def load(self, index: int):
         path, label = self.files[index]
         data = np.load(path)
@@ -157,7 +158,14 @@ class Dvs128GestureSource(_ClassDirSource):
 
 
 class Ucf101DvsSource(_ClassDirSource):
-    sensor_hw = (240, 320)
+    # reference augments/rasters at ucf_sensor_h/w = 180x240
+    # (main_finetune_cls.py:181-182), NOT the DAVIS240 native 240x320
+    sensor_hw = (180, 240)
+
+    def __init__(self, root: str, sensor_hw: tuple[int, int] | None = None):
+        super().__init__(root)
+        if sensor_hw is not None:
+            self.sensor_hw = tuple(sensor_hw)
 
     def load(self, index: int):
         import scipy.io

@@ -26,26 +26,33 @@ def test_n_caltech101(tmp_path, rng):
     assert ev.shape[1] == 4 and label == 1
 
 
-def test_cifar10_dvs_rescales(tmp_path, rng):
+def test_cifar10_dvs(tmp_path, rng):
+    # coords stay at the 128x128 sensor; the ECDP-only rescale happens in
+    # ClsPipeline after the stream augment (ft_cifar10_dvs_dataset.py:69-72)
     d = tmp_path / "airplane"
     d.mkdir()
     ev = _events(w=128, h=128, rng=rng)
     np.save(d / "cifar10_airplane_0.npy", ev)
-    src = cs.Cifar10DvsSource(str(tmp_path), input_size=224)
+    src = cs.Cifar10DvsSource(str(tmp_path))
     out, label = src.load(0)
-    assert out[:, 0].max() <= 224 * 127 / 128 + 1e-6
+    np.testing.assert_allclose(out, ev)
+    assert src.sensor_hw == (128, 128)
     assert label == 0
 
 
 def test_dvs128_gesture(tmp_path, rng):
-    d = tmp_path / "3"
-    d.mkdir()
+    # label comes from the integer directory NAME, not the sorted position
+    # (ft_dvs128_gesture_dataset.py:51-54): '10' sorts before '2'
     ev = _events(w=128, h=128, rng=rng)
-    np.savez(d / "user01.npz", x=ev[:, 0], y=ev[:, 1], t=ev[:, 2], p=ev[:, 3])
+    for name in ("10", "2", "3"):
+        d = tmp_path / name
+        d.mkdir()
+        np.savez(d / "user01.npz", x=ev[:, 0], y=ev[:, 1], t=ev[:, 2],
+                 p=ev[:, 3])
     src = cs.Dvs128GestureSource(str(tmp_path))
     out, label = src.load(0)
     np.testing.assert_allclose(out, ev)
-    assert label == 0  # single class dir
+    assert [src.load(i)[1] for i in range(3)] == [10, 2, 3]
 
 
 def test_es_imagenet(tmp_path, rng):
@@ -81,21 +88,28 @@ def test_ucf101_dvs(tmp_path, rng):
     src = cs.Ucf101DvsSource(str(tmp_path))
     ev, label = src.load(0)
     assert ev.shape == (40, 4)
+    # reference augments/rasters at ucf_sensor 180x240
+    # (main_finetune_cls.py:181-182)
+    assert src.sensor_hw == (180, 240)
 
 
 def test_n_imagenet_structured(tmp_path, rng):
+    # reference field names are x/y/t/p with microsecond timestamps scaled
+    # to seconds (ft_n_imagenet_dataset.py:66-69); coords stay at the
+    # 480x640 sensor — the rescale lives in ClsPipeline ("always")
     d = tmp_path / "n01440764"
     d.mkdir()
     arr = np.zeros(
-        60, dtype=[("x", "<u2"), ("y", "<u2"), ("timestamp", "<i8"),
-                   ("polarity", "?")]
+        60, dtype=[("x", "<u2"), ("y", "<u2"), ("t", "<i8"), ("p", "?")]
     )
     arr["x"] = rng.integers(0, 640, 60)
     arr["y"] = rng.integers(0, 480, 60)
-    arr["timestamp"] = np.arange(60)
-    arr["polarity"] = rng.integers(0, 2, 60).astype(bool)
+    arr["t"] = np.arange(60) * 1000
+    arr["p"] = rng.integers(0, 2, 60).astype(bool)
     np.savez(d / "n01440764_1.npz", event_data=arr)
-    src = cs.NImageNetSource(str(tmp_path), input_size=224)
+    src = cs.NImageNetSource(str(tmp_path))
     ev, label = src.load(0)
     assert ev.shape == (60, 4)
-    assert ev[:, 0].max() <= 224 and ev[:, 1].max() <= 224
+    np.testing.assert_allclose(ev[:, 0], arr["x"])
+    np.testing.assert_allclose(ev[:, 2], arr["t"] / 1e6)
+    assert src.sensor_hw == (480, 640)
