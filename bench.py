@@ -1,13 +1,28 @@
 """Headline benchmark: stage-1 pretrain throughput, ViT-B, one chip.
 
-Prints ONE JSON line to stdout:
+Prints the headline JSON line to stdout FIRST, then (unless
+EVENTPRETRAIN_BENCH_SUITE=0) runs the budget-boxed suite, then re-prints
+the headline as the LAST line — the driver parses the final JSON line of
+the merged output (BENCH_r03's ``parsed`` field picked up a voxel row
+because the suite printed after the headline), so the headline must
+bracket the suite.
+
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-then (unless EVENTPRETRAIN_BENCH_SUITE=0) runs the per-phase step suite
-(benchmarks/bench_all_steps.py: con, rec+con, cls, semseg, flow, swin_rec,
-ecdp) plus the MXU event-rasterizer and writes every number to
-``bench_suite.json`` so round-over-round regressions in any phase are
-machine-checkable, not prose (suite progress goes to stderr).
+Suite sections, in priority order, each gated on the remaining time budget
+(EVENTPRETRAIN_BENCH_BUDGET_S, default 480 s — BENCH_r03 hit the driver's
+timeout with rc=124 inside the serving exports; sections that do not fit
+are recorded as skipped_for_budget instead of truncating the artifact):
+
+  1. per-phase step suite (benchmarks/bench_all_steps.py)
+  2. MXU event-rasterizer sweep (benchmarks/bench_events.py)
+  3. end-to-end pipeline+step rows for cls / semseg / flow
+     (benchmarks/bench_e2e.py — delivered samples/s incl. host pipeline,
+     VERDICT r3 items 3+8)
+  4. serving latency incl. export (benchmarks/bench_serving.py)
+
+All of it lands in ``bench_suite.json`` so round-over-round regressions in
+any phase are machine-checkable, not prose (suite progress -> stderr).
 
 The reference repo publishes no numbers (SURVEY.md §6); BASELINE.md sets the
 bar as the de-facto PyTorch MAE-style ViT-B pretrain throughput of the
@@ -30,39 +45,71 @@ import jax.numpy as jnp
 REF_SAMPLES_PER_SEC_PER_GPU = 250.0  # see BASELINE.md "Measured baselines"
 
 
-def run_suite(headline: dict) -> None:
-    """Per-phase suite -> bench_suite.json (VERDICT r1 item 6)."""
+def run_suite(headline: dict, deadline: float) -> None:
+    """Per-phase suite -> bench_suite.json (VERDICT r1 item 6, r3 items
+    3/4/8). Every section checks the remaining budget before starting."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    def remaining():
+        return deadline - time.time()
+
     from benchmarks import bench_all_steps as bas
 
     phases = []
     for name, fn in bas.ALL.items():
+        if remaining() < 25:
+            phases.append({"phase": name, "skipped_for_budget": True})
+            continue
         try:
-            row = fn()
-            phases.append(row)
+            phases.append(fn())
         except Exception as e:  # one phase failing must not hide the rest
             print(f"[suite] {name}: FAILED {type(e).__name__}: "
                   f"{str(e)[:200]}", file=sys.stderr)
             phases.append({"phase": name, "error": str(e)[:200]})
-    try:
-        from benchmarks.bench_events import main as events_main
 
-        events = events_main()
-    except Exception as e:
-        print(f"[suite] events: FAILED {e}", file=sys.stderr)
-        events = None
-    try:
-        from benchmarks.bench_serving import main as serving_main
+    events = None
+    if remaining() > 30:
+        try:
+            from benchmarks.bench_events import main as events_main
 
-        serving = serving_main()
-    except Exception as e:
-        print(f"[suite] serving: FAILED {e}", file=sys.stderr)
-        serving = None
+            events = events_main()
+        except Exception as e:
+            print(f"[suite] events: FAILED {e}", file=sys.stderr)
+    else:
+        events = {"skipped_for_budget": True}
+
+    # end-to-end (pipeline + prefetch + step) delivered throughput
+    from benchmarks.bench_e2e import ALL as E2E_ALL
+
+    e2e = []
+    for name in ("cls", "semseg", "flow"):
+        if remaining() < 70:  # compile-dominated: ~40-70 s each
+            e2e.append({"metric": f"e2e_{name}", "skipped_for_budget": True})
+            continue
+        try:
+            e2e.append(E2E_ALL[name]())
+        except Exception as e:
+            print(f"[suite] e2e {name}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:200]}", file=sys.stderr)
+            e2e.append({"metric": f"e2e_{name}", "error": str(e)[:200]})
+
+    serving = None
+    if remaining() > 45:
+        try:
+            from benchmarks.bench_serving import main as serving_main
+
+            serving = serving_main(deadline=deadline)
+        except Exception as e:
+            print(f"[suite] serving: FAILED {e}", file=sys.stderr)
+    else:
+        serving = {"skipped_for_budget": True}
+
     out = {
         "backend": jax.default_backend(),
         "headline": headline,
         "phases": phases,
         "events_rasterizer": events,
+        "e2e": e2e,
         "serving_latency": serving,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -134,6 +181,13 @@ def main():
 
 
 if __name__ == "__main__":
+    budget = float(os.environ.get("EVENTPRETRAIN_BENCH_BUDGET_S", "480"))
+    deadline = time.time() + budget
     h = main()
     if os.environ.get("EVENTPRETRAIN_BENCH_SUITE", "1") != "0":
-        run_suite(h)
+        try:
+            run_suite(h, deadline)
+        finally:
+            # the driver parses the LAST JSON line of the merged output:
+            # re-print the headline so `parsed` is always the headline row
+            print(json.dumps(h), flush=True)

@@ -32,7 +32,16 @@ def bench_fn(fn, x, iters=30):
     return (time.perf_counter() - t0) / iters * 1e3
 
 
-def _bench_task(name, logits_fn, example, batch_sizes, rows, native_bundle=True):
+def _bench_task(name, logits_fn, example, batch_sizes, rows,
+                native_bundle=True, deadline=None):
+    if deadline is not None and time.time() > deadline:
+        print(f"[{name}] skipped_for_budget", file=sys.stderr)
+        rows.append({"task": name, "skipped_for_budget": True})
+        return
+    if deadline is not None and native_bundle:
+        # a native bucketed export costs ~10-35s; keep the portable row and
+        # drop the bundle when the remaining budget cannot absorb it
+        native_bundle = time.time() + 45 < deadline
     from eventpretrain_tpu.utils.export_infer import (
         export_inference,
         export_inference_bundle,
@@ -84,7 +93,7 @@ def _bench_task(name, logits_fn, example, batch_sizes, rows, native_bundle=True)
               f"{nat_txt} | live jit {ms_live:7.2f} ms", file=sys.stderr)
 
 
-def main():
+def main(deadline=None):
     from eventpretrain_tpu.models.cls_hub import cls_hub_vit_small
     from eventpretrain_tpu.models.dense_hub import dense_hub_vit_small
 
@@ -99,7 +108,7 @@ def main():
     def cls_logits(evg):
         return hub.apply(variables, evg)[1]  # (emb_h, logits, attn)
 
-    _bench_task("cls", cls_logits, x0, (1, 8, 64), rows)
+    _bench_task("cls", cls_logits, x0, (1, 8, 64), rows, deadline=deadline)
 
     # --- semseg: ViT-S dense hub @224, 13 classes (DSEC grid) -------------
     seg = dense_hub_vit_small(num_classes=13, dtype=jnp.bfloat16)
@@ -108,7 +117,7 @@ def main():
     def seg_logits(evg):
         return seg.apply(seg_vars, evg, train=False)[2]  # decode logits
 
-    _bench_task("semseg", seg_logits, x0, (8,), rows)
+    _bench_task("semseg", seg_logits, x0, (8,), rows, deadline=deadline)
 
     # --- flow: same hub, 2 output channels @224 ---------------------------
     flow = dense_hub_vit_small(num_classes=2, dtype=jnp.bfloat16)
@@ -117,7 +126,7 @@ def main():
     def flow_out(evg):
         return flow.apply(flow_vars, evg, train=False)[2]
 
-    _bench_task("flow", flow_out, x0, (8,), rows)
+    _bench_task("flow", flow_out, x0, (8,), rows, deadline=deadline)
     return rows
 
 

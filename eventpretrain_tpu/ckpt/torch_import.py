@@ -313,6 +313,42 @@ def load_torch_backbone_if_needed(path: str, params: Any) -> Any:
     return params
 
 
+def init_variables_from(path: str, variables: dict, *,
+                        strict_backbone: bool = True) -> dict:
+    """``init_backbone_from`` over a full flax variables dict: fills
+    ``params`` AND ``batch_stats`` (BatchNorm running_mean/running_var —
+    the reference checkpoints carry them for the dense decoder heads'
+    ConvModule BNs, ft_dense_decoder.py:86-201, and the projector BNs;
+    dropping them would leave eval-mode normalization at init stats)."""
+    params = variables["params"]
+    stats = variables.get("batch_stats") or {}
+    if path.endswith((".pth", ".pt", ".bin")):
+        sd = load_torch_state_dict(path)
+        subtrees = ()
+        if strict_backbone and isinstance(params, dict):
+            subtrees = tuple(k for k in ("backbone",) if k in params)
+        new_params, _, unused_p = import_torch_params(
+            sd, params, strict_subtrees=subtrees, verbose=False
+        )
+        out = dict(variables, params=new_params)
+        unused = unused_p
+        if stats:
+            new_stats, _, unused_s = import_torch_params(
+                sd, stats, verbose=False
+            )
+            out["batch_stats"] = new_stats
+            unused = sorted(set(unused_p) & set(unused_s))
+        if unused:
+            print(f"[torch_import] {len(unused)} torch keys unused "
+                  f"(e.g. {unused[:4]})")
+        return out
+    prev = _restore_orbax_tree(path)
+    out = dict(variables, params=_graft_tree(params, prev.get("params", prev)))
+    if stats and isinstance(prev, dict) and prev.get("batch_stats"):
+        out["batch_stats"] = _graft_tree(stats, prev["batch_stats"])
+    return out
+
+
 def init_backbone_from(path: str, params, *, strict_backbone: bool = True):
     """Initialize params from a prior checkpoint for stage chaining/finetune.
 
@@ -338,12 +374,14 @@ def init_backbone_from(path: str, params, *, strict_backbone: bool = True):
         )
         return new_params
 
+    prev = _restore_orbax_tree(path)
+    return _graft_tree(params, prev.get("params", prev), label=path)
+
+
+def _restore_orbax_tree(path: str):
     import os
 
-    import jax
     import orbax.checkpoint as ocp
-
-    from eventpretrain_tpu.train.state import merge_params
 
     target = os.path.abspath(path)
     if os.path.isdir(os.path.join(target, "checkpoints")):
@@ -352,9 +390,11 @@ def init_backbone_from(path: str, params, *, strict_backbone: bool = True):
         name = str(num[0]) if num else steps[0]
         target = os.path.join(target, "checkpoints", name)
     with ocp.StandardCheckpointer() as ckptr:
-        prev = ckptr.restore(target)
-    prev_params = prev.get("params", prev)
+        return ckptr.restore(target)
 
+
+def _graft_tree(new_tree, old_tree, label: str = ""):
+    """Copy matching-shape leaves from old into new; fresh heads keep init."""
     copied = [0]
 
     def graft(new, old):
@@ -368,6 +408,8 @@ def init_backbone_from(path: str, params, *, strict_backbone: bool = True):
             return jnp.asarray(old, new.dtype)
         return new
 
-    out = graft(params, prev_params)
-    print(f"[init_backbone_from] {path}: copied {copied[0]} matching leaves")
+    out = graft(new_tree, old_tree)
+    if label:
+        print(f"[init_backbone_from] {label}: copied {copied[0]} "
+              "matching leaves")
     return out

@@ -360,8 +360,13 @@ def main(args=None):
     )
     eff_batch = args.batch_size * args.accum_iter
     lr = args.lr if args.lr is not None else args.blr * eff_batch / 256
+    # optax.MultiSteps advances the schedule once per UPDATE; the reference
+    # clocks LR at accum-window starts (ft_cls_trainer.py adjust when
+    # i % accum == 0) — updates-per-epoch makes the conventions coincide
+    # (pinned by tests/test_grad_accum.py)
     schedule = cosine_warmup_schedule(
-        lr, args.min_lr, args.warmup_epochs, args.epochs, steps_per_epoch
+        lr, args.min_lr, args.warmup_epochs, args.epochs,
+        max(steps_per_epoch // args.accum_iter, 1),
     )
     trainable_mask = None
     if args.linprob:

@@ -36,7 +36,7 @@ from eventpretrain_tpu.ckpt import (
     restore_checkpoint,
     wait_for_saves,
 )
-from eventpretrain_tpu.ckpt.torch_import import init_backbone_from
+from eventpretrain_tpu.ckpt.torch_import import init_variables_from
 from eventpretrain_tpu.utils.logging import append_log_line, ScalarWriter
 
 
@@ -70,6 +70,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--w_decode_loss", type=float, default=1.0)
     p.add_argument("--w_auxiliary_loss", type=float, default=0.4)
     p.add_argument("--drop_path_rate", type=float, default=0.1)
+    # decoder-head Dropout2d; the reference hardcodes 0.1
+    # (ft_dense_decoder.py:25-34) with no flag
+    p.add_argument("--decode_dropout", type=float, default=0.1)
     p.add_argument("--drop_rate", type=float, default=0.0)
     p.add_argument("--attn_drop_rate", type=float, default=0.0)
     p.add_argument("--crop_min", type=float, default=0.8)
@@ -191,7 +194,8 @@ def main(args=None):
         drop_path_rate=args.drop_path_rate,
         drop_rate=args.drop_rate, attn_drop_rate=args.attn_drop_rate,
         use_remat=args.use_checkpoint,
-    ).clone(sample_mode=args.sample_mode)
+    ).clone(sample_mode=args.sample_mode,
+            decode_dropout=args.decode_dropout)
     variables = jax.jit(hub.init)(
         jax.random.key(args.seed),
         jnp.zeros((1, args.input_size, args.input_size, args.num_bins)),
@@ -201,10 +205,13 @@ def main(args=None):
 
     print(f"model params: {count_params(params):.2f}M")
     if args.finetune:
-        params = init_backbone_from(
-            args.finetune, params,
+        # fills params AND batch_stats (the reference dense checkpoints
+        # carry decoder-head BN running stats used in eval mode)
+        variables = init_variables_from(
+            args.finetune, dict(variables),
             strict_backbone=not args.lenient_import,
         )
+        params = variables["params"]
 
     feed = None
     if args.feed_batches:
@@ -332,28 +339,53 @@ def main(args=None):
             from eventpretrain_tpu.ops.reshape import resize, resize_flow
             from eventpretrain_tpu.viz import save_flow_panel
 
-            src0 = next(iter(val_srcs.values()))
-            vb = next(iter(DensePipeline(src0, cfg, local_bs,
-                                         train=False, seed=args.seed)))
-            variables = {"params": state.params}
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
-            _, _, decode, aux = state.apply_fn(variables, vb["evg"],
-                                               train=False)
-            hw = vb["flow"].shape[1:3]
-            pred = resize_flow(decode, hw, "bilinear")
-            presence = (jnp.linalg.norm(vb["evg"], axis=-1) > 0
-                        ).astype(jnp.float32)[..., None]
-            mask = resize(presence, hw, "nearest")[..., 0]
-            mask = mask * (vb["valid"] >= 0.5)
-            save_flow_panel(
-                f"{args.output_dir}/vis_val", f"epoch_{epoch:03d}.png",
-                _np.asarray(vb["evg"][0], _np.float32),
-                _np.asarray(vb["flow"][0]), _np.asarray(pred[0]),
-                sparse_mask=_np.asarray(mask[0]),
-                aux_pred=(_np.asarray(resize_flow(aux, hw, "bilinear")[0])
-                          if aux is not None else None),
-            )
+            # one full 6x4 panel per val split, saved under
+            # vis_val-<split> (reference vis_ft_flow: per-dataset val dirs,
+            # ft_flow_visualize.py:250-256)
+            for split, src0 in val_srcs.items():
+                vb = next(iter(DensePipeline(src0, cfg, 1,
+                                             train=False, seed=args.seed)),
+                          None)
+                if vb is None:
+                    continue
+                variables = {"params": state.params}
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                _, _, decode, aux = state.apply_fn(variables, vb["evg"],
+                                                   train=False)
+                hw = vb["flow"].shape[1:3]
+                pred = resize_flow(decode, hw, "bilinear")
+                presence = (jnp.linalg.norm(vb["evg"], axis=-1) > 0
+                            ).astype(jnp.float32)[..., None]
+                mask = resize(presence, hw, "nearest")[..., 0]
+                mask = mask * (vb["valid"] >= 0.5)
+                out = hub.backbone.apply(
+                    {"params": state.params["backbone"]}, vb["evg"][:1],
+                    deterministic=True, return_attn=True,
+                    method=hub.backbone.encode_dense,
+                )
+                if len(out) == 5:
+                    taps = {"emb_l1": out[0][0], "emb_l2": out[1][0],
+                            "emb_h": out[2][0]}
+                    attn = out[4]
+                else:
+                    taps, attn = {}, out[2]
+                save_flow_panel(
+                    f"{args.output_dir}/vis_val-{split}",
+                    f"epoch_{epoch:03d}.png",
+                    _np.asarray(vb["evg"][0], _np.float32),
+                    _np.asarray(vb["flow"][0]), _np.asarray(pred[0]),
+                    sparse_mask=_np.asarray(mask[0]),
+                    aux_pred=(
+                        _np.asarray(resize_flow(aux, hw, "bilinear")[0])
+                        if aux is not None else None),
+                    valid=_np.asarray(vb["valid"][0] >= 0.5),
+                    attn=None if attn is None else _np.asarray(
+                        attn[0], _np.float32),
+                    taps={k: _np.asarray(v, _np.float32)
+                          for k, v in taps.items()},
+                    title=f"epoch {epoch + 1} [{split}]",
+                )
         record["epoch_time_s"] = round(time.time() - t0, 2)
         append_log_line(args.output_dir, record)
         writer.write({k: v for k, v in record.items() if k != "epoch"}, epoch)

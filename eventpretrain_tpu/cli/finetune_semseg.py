@@ -55,7 +55,7 @@ from eventpretrain_tpu.ckpt import (
     restore_checkpoint,
     wait_for_saves,
 )
-from eventpretrain_tpu.ckpt.torch_import import init_backbone_from
+from eventpretrain_tpu.ckpt.torch_import import init_variables_from
 from eventpretrain_tpu.utils.logging import MetricLogger, append_log_line, ScalarWriter
 
 HUBS = {
@@ -101,11 +101,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weight_decay", type=float, default=0.05)
     p.add_argument("--layer_decay", type=float, default=0.75)
     p.add_argument("--use_layer_decay", action="store_true")
-    p.add_argument("--clip_grad", type=float, default=3.0,
-                   help="reference dense-task clip (main_finetune_semseg.py:106)")
+    # the reference exposes --clip_grad 3 (main_finetune_semseg.py:106) but
+    # its semseg trainer never forwards it to the scaler
+    # (ft_semseg_trainer.py:129 omits clip_grad= -> NativeScaler computes the
+    # norm without clipping), so the effective reference behavior is NO clip.
+    # Default matches the behavior; pass a value to actually clip.
+    p.add_argument("--clip_grad", type=float, default=None)
     p.add_argument("--w_decode_loss", type=float, default=1.0)
     p.add_argument("--w_auxiliary_loss", type=float, default=0.4)
     p.add_argument("--drop_path_rate", type=float, default=0.1)
+    # decoder-head Dropout2d; the reference hardcodes 0.1
+    # (ft_dense_decoder.py:25-34) with no flag
+    p.add_argument("--decode_dropout", type=float, default=0.1)
     p.add_argument("--drop_rate", type=float, default=0.0)
     p.add_argument("--attn_drop_rate", type=float, default=0.0)
     p.add_argument("--crop_min", type=float, default=0.8)
@@ -238,7 +245,8 @@ def main(args=None):
         drop_path_rate=args.drop_path_rate,
         drop_rate=args.drop_rate, attn_drop_rate=args.attn_drop_rate,
         use_remat=args.use_checkpoint,
-    ).clone(sample_mode=args.sample_mode)
+    ).clone(sample_mode=args.sample_mode,
+            decode_dropout=args.decode_dropout)
     variables = jax.jit(hub.init)(
         jax.random.key(args.seed),
         jnp.zeros((1, args.input_size, args.input_size, args.num_bins)),
@@ -248,10 +256,13 @@ def main(args=None):
 
     print(f"model params: {count_params(params):.2f}M")
     if args.finetune:
-        params = init_backbone_from(
-            args.finetune, params,
+        # fills params AND batch_stats (the reference dense checkpoints
+        # carry decoder-head BN running stats used in eval mode)
+        variables = init_variables_from(
+            args.finetune, dict(variables),
             strict_backbone=not args.lenient_import,
         )
+        params = variables["params"]
 
     feed = None
     if args.feed_batches:
@@ -385,11 +396,30 @@ def main(args=None):
             pred = jnp.argmax(resize(decode, label_hw, "bilinear"), -1)
             aux_p = (jnp.argmax(resize(aux, label_hw, "bilinear"), -1)
                      if aux is not None else None)
+            # full 5x4 layout (reference vis_ft_semseg): attention + l1/l2/h
+            # taps from a one-sample diagnostic backbone forward
+            out = hub.backbone.apply(
+                {"params": state.params["backbone"]}, vb["evg"][:1],
+                deterministic=True, return_attn=True,
+                method=hub.backbone.encode_dense,
+            )
+            if len(out) == 5:
+                taps = {"emb_l1": out[0][0], "emb_l2": out[1][0],
+                        "emb_h": out[2][0]}
+                attn = out[4]
+            else:
+                taps, attn = {}, out[2]
             save_semseg_panel(
                 f"{args.output_dir}/vis_val", f"epoch_{epoch:03d}.png",
                 _np.asarray(vb["evg"][0], _np.float32),
                 _np.asarray(vb["label"][0]), _np.asarray(pred[0]),
                 aux_pred=None if aux_p is None else _np.asarray(aux_p[0]),
+                attn=None if attn is None else _np.asarray(
+                    attn[0], _np.float32),
+                taps={k: _np.asarray(v, _np.float32)
+                      for k, v in taps.items()},
+                dataset=args.dataset,
+                title=f"epoch {epoch + 1}",
             )
         writer.write({**train_metrics, "miou": miou, "macc": macc}, epoch)
         append_log_line(args.output_dir, {

@@ -376,7 +376,18 @@ def main(args=None):
 
     if args.init_from:
         if args.init_from.endswith((".pth", ".pt", ".bin")):
-            params = load_torch_backbone_if_needed(args.init_from, params)
+            from eventpretrain_tpu.ckpt.torch_import import (
+                init_variables_from,
+            )
+
+            # fills params AND batch_stats (projector-BN running stats are
+            # registered buffers in the reference checkpoint)
+            v = init_variables_from(
+                args.init_from,
+                {"params": params, "batch_stats": batch_stats},
+                strict_backbone=False,
+            )
+            params, batch_stats = v["params"], v.get("batch_stats", batch_stats)
         else:
             # orbax: restore params only (stage chaining keeps fresh optimizer)
             import orbax.checkpoint as ocp
@@ -413,8 +424,14 @@ def main(args=None):
     )
     eff_batch = args.batch_size * args.accum_iter
     lr = args.lr if args.lr is not None else args.blr * eff_batch / 256
+    # optax.MultiSteps advances the inner schedule once per UPDATE (every
+    # accum_iter microsteps), while the reference clocks LR in microsteps
+    # at each accum-window start (pr_trainer.py:28-30 adjust when
+    # i % accum == 0 at t = i/len(dl)); updates-per-epoch makes the two
+    # conventions coincide: schedule(u) = lr(u*accum/len(dl) + epoch).
     schedule = cosine_warmup_schedule(
-        lr, args.min_lr, args.warmup_epochs, args.epochs, steps_per_epoch
+        lr, args.min_lr, args.warmup_epochs, args.epochs,
+        max(steps_per_epoch // args.accum_iter, 1),
     )
     trainable_mask = (
         frozen_except_norm_mask(params) if args.pr_phase == "adj" else None
@@ -630,11 +647,7 @@ def main(args=None):
                     mask=msk, method=hub.forward_rec,
                 )
                 pred_frame = emb2frame(patch_size, pred, args.frame_chans)
-                save_reconstruction_panel(
-                    f"{args.output_dir}/vis_train", f"epoch_{epoch:03d}.png",
-                    _np.asarray(vb["evg"][0], _np.float32),
-                    _np.asarray(vb["frame"][0], _np.float32),
-                    _np.asarray(pred_frame[0], _np.float32),
+                rec_kwargs = dict(
                     mask=_np.asarray(msk[0], _np.float32),
                     patch_size=patch_size,
                     taps={
@@ -645,6 +658,42 @@ def main(args=None):
                     ids_restore=_np.asarray(ids_restore[0]),
                     title=f"epoch {epoch + 1}",
                 )
+                if args.pr_phase == "rec+con" and "clip_emb" in vb:
+                    # combined 9x4 rec+con diagnostic (reference
+                    # vis_pr_rec_and_con, pr_visualize.py:413-601)
+                    from eventpretrain_tpu.viz import save_rec_con_panel
+
+                    variables = {"params": state.params}
+                    if state.batch_stats:
+                        variables["batch_stats"] = state.batch_stats
+                    q, k, emb_h_org, clip_emb_org, attn = hub.apply(
+                        variables, vevg, vb["clip_emb"][:1],
+                        method=hub.forward_con,
+                    )
+                    save_rec_con_panel(
+                        f"{args.output_dir}/vis_train",
+                        f"epoch_{epoch:03d}.png",
+                        _np.asarray(vb["evg"][0], _np.float32),
+                        _np.asarray(vb["frame"][0], _np.float32),
+                        _np.asarray(pred_frame[0], _np.float32),
+                        emb_h_org=_np.asarray(emb_h_org[0], _np.float32),
+                        emb_h_proj=_np.asarray(q[0], _np.float32),
+                        clip_emb_org=_np.asarray(clip_emb_org[0],
+                                                 _np.float32),
+                        clip_emb_proj=_np.asarray(k[0], _np.float32),
+                        attn=None if attn is None else _np.asarray(
+                            attn[0], _np.float32),
+                        **rec_kwargs,
+                    )
+                else:
+                    save_reconstruction_panel(
+                        f"{args.output_dir}/vis_train",
+                        f"epoch_{epoch:03d}.png",
+                        _np.asarray(vb["evg"][0], _np.float32),
+                        _np.asarray(vb["frame"][0], _np.float32),
+                        _np.asarray(pred_frame[0], _np.float32),
+                        **rec_kwargs,
+                    )
         elif args.visualize and args.pr_phase in ("adj", "con"):
             # contrastive panel (reference vis_pr_con, pr_visualize.py:320)
             import numpy as _np
@@ -920,10 +969,55 @@ def main_ecdp(args):
                     source, cfg, 1, train=False, seed=args.seed
                 )
             vb = next(iter(vpipe))
+            # full 3x4 diagnostic (reference vis_pr_ecdp,
+            # pr_visualize.py:604-740): fresh q/k masks, query-encoder
+            # attention vs EMA-key attention, clip + head projections
+            from eventpretrain_tpu.ops.masking import make_mask_from_noise
+
+            kq, kk = jax.random.split(jax.random.fold_in(key, 20_000 + epoch))
+            ids_q, mask_q, ids_restore_q = make_mask_from_noise(
+                jax.random.uniform(kq, (1, num_patches)), len_keep)
+            ids_k, mask_k, ids_restore_k = make_mask_from_noise(
+                jax.random.uniform(kk, (1, num_patches)), len_keep)
+            img_q = jnp.asarray(vb["img_q"][:1])
+            img_k = jnp.asarray(vb["img_k"][:1])
+            clip_emb = jnp.asarray(vb["clip_emb"][:1])
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            q_event, q_image, clip_proj = state.apply_fn(
+                variables, img_q, ids_q, clip_emb, train=False,
+                mask=mask_q, method=model.forward_query,
+            )
+            backbone = model.encoder.backbone
+            emb_event_q, emb_image_q, attn_q = backbone.apply(
+                {"params": state.params["encoder"]["backbone"]},
+                img_q, ids_q, deterministic=True, mask=mask_q,
+                return_attn=True, method=backbone.encode_masked,
+            )
+            _, _, attn_k = backbone.apply(
+                {"params": state.ema_params["backbone"]},
+                img_k, ids_k, deterministic=True, mask=mask_k,
+                return_attn=True, method=backbone.encode_masked,
+            )
             save_ecdp_panel(
                 f"{args.output_dir}/vis_train", f"epoch_{epoch:03d}.png",
                 _np.asarray(vb["img_q"][0], _np.float32),
                 _np.asarray(vb["img_k"][0], _np.float32),
+                mask_q=_np.asarray(mask_q[0], _np.float32),
+                mask_k=_np.asarray(mask_k[0], _np.float32),
+                ids_restore_q=_np.asarray(ids_restore_q[0]),
+                ids_restore_k=_np.asarray(ids_restore_k[0]),
+                attn_q=None if attn_q is None else _np.asarray(
+                    attn_q[0], _np.float32),
+                attn_k=None if attn_k is None else _np.asarray(
+                    attn_k[0], _np.float32),
+                clip_emb_org=_np.asarray(clip_emb[0], _np.float32),
+                clip_emb_proj=_np.asarray(clip_proj[0], _np.float32),
+                emb_image_q_org=_np.asarray(emb_image_q[0], _np.float32),
+                emb_image_q=_np.asarray(q_image[0], _np.float32),
+                emb_event_q_org=_np.asarray(emb_event_q[0], _np.float32),
+                emb_event_q=_np.asarray(q_event[0], _np.float32),
+                title=f"epoch {epoch + 1}",
             )
         if (epoch + 1) % args.save_model_freq == 0 or epoch + 1 == args.epochs:
             print(f"saved {save_checkpoint(args.output_dir, state)}")

@@ -410,18 +410,28 @@ class SyntheticDenseSource:
 
     def __init__(self, task: str, n: int = 16, num_classes: int = 6,
                  sensor_hw: tuple[int, int] = (64, 64),
-                 num_events: int = 4000, seed: int = 0):
+                 num_events: int = 4000, seed: int = 0,
+                 cache: bool = False):
         self.task = task
         self.n = n
         self.num_classes = num_classes
         self.sensor_hw = sensor_hw
         self.num_events = num_events
         self.seed = seed
+        # benchmarks measure the framework, not synthesis: cache samples
+        self._cache: dict[int, dict] | None = {} if cache else None
 
     def __len__(self):
         return self.n
 
     def load(self, index: int) -> dict:
+        if self._cache is not None:
+            if index not in self._cache:
+                self._cache[index] = self._generate(index)
+            return self._cache[index]
+        return self._generate(index)
+
+    def _generate(self, index: int) -> dict:
         rng = np.random.default_rng(self.seed + index)
         h, w = self.sensor_hw
         # events concentrated in one quadrant; label marks that quadrant

@@ -25,6 +25,9 @@ class FtDenseHub(nn.Module):
     aux_channels: int = 256
     aux_in_index: int = 2
     sample_mode: str = "bilinear"  # reference --sample_mode
+    # reference heads hardcode Dropout2d(0.1) (ft_dense_decoder.py:25-34);
+    # exposed so deterministic runs (parity tests) can turn it off
+    decode_dropout: float = 0.1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -45,6 +48,7 @@ class FtDenseHub(nn.Module):
             channels=self.decode_channels,
             num_classes=self.num_classes,
             sample_mode=self.sample_mode,
+            dropout_ratio=self.decode_dropout,
             dtype=self.dtype,
             name="decode_head",
         )(out_embs, train)
@@ -52,6 +56,7 @@ class FtDenseHub(nn.Module):
             channels=self.aux_channels,
             num_classes=self.num_classes,
             in_index=self.aux_in_index,
+            dropout_ratio=self.decode_dropout,
             dtype=self.dtype,
             name="auxiliary_head",
         )(out_embs, train)

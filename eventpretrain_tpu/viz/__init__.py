@@ -13,4 +13,5 @@ from eventpretrain_tpu.viz.panels import (
     save_feature_panel,
     save_con_panel,
     save_ecdp_panel,
+    save_rec_con_panel,
 )

@@ -141,16 +141,36 @@ def flow_to_image(flow_uv: np.ndarray, clip_flow: float | None = None) -> np.nda
     return flow_uv_to_colors(u / (rad_max + eps), v / (rad_max + eps))
 
 
-# DSEC 11-class palette (reference ft_semseg_visualize.py:34 color map intent)
+# Per-dataset class palettes, value-exact vs the reference's color tensors
+# (ft_semseg_visualize.py:15-40: dsec_color_class_0..10 / ddd17_color_class_0..5)
+DSEC_PALETTE = np.array(
+    [[0, 0, 0], [70, 70, 70], [190, 153, 153], [220, 20, 60],
+     [153, 153, 153], [128, 64, 128], [244, 35, 232], [107, 142, 35],
+     [0, 0, 142], [102, 102, 156], [220, 220, 0]], np.uint8,
+)
+DDD17_PALETTE = np.array(
+    [[128, 64, 128], [70, 70, 70], [220, 220, 0], [107, 142, 35],
+     [220, 20, 60], [0, 0, 142]], np.uint8,
+)
+# generic fallback (Cityscapes ordering) for datasets outside the reference's
+# two semseg sources
 _SEMSEG_PALETTE = np.array(
     [[128, 64, 128], [244, 35, 232], [70, 70, 70], [102, 102, 156],
      [190, 153, 153], [153, 153, 153], [250, 170, 30], [220, 220, 0],
      [107, 142, 35], [70, 130, 180], [220, 20, 60], [0, 0, 142],
      [0, 60, 100], [119, 11, 32]], np.uint8,
 )
+_PALETTES = {"dsec": DSEC_PALETTE, "ddd17": DDD17_PALETTE}
 
 
-def semseg_to_color(label: np.ndarray) -> np.ndarray:
-    """(H, W) int -> (H, W, 3) uint8."""
-    label = np.asarray(label, np.int64) % len(_SEMSEG_PALETTE)
-    return _SEMSEG_PALETTE[label]
+def semseg_to_color(label: np.ndarray, dataset: str | None = None) -> np.ndarray:
+    """(H, W) int -> (H, W, 3) uint8 (reference draw_semseg_color_map,
+    ft_semseg_visualize.py:34-78: per-dataset palettes; out-of-range ids —
+    e.g. the 255 ignore label — render black like the reference's zeros
+    init)."""
+    palette = _PALETTES.get(dataset, _SEMSEG_PALETTE)
+    label = np.asarray(label, np.int64)
+    out = np.zeros(label.shape + (3,), np.uint8)
+    valid = (label >= 0) & (label < len(palette))
+    out[valid] = palette[label[valid]]
+    return out

@@ -93,8 +93,21 @@ def install_timm_shim():
 
 def install_main_shims():
     """Extra stubs so the reference ENTRY POINTS import: ptflops (only the
-    commented-out FLOP counter references it) and clip (loaded in-loop only
-    for adj-n/con-n, which the trajectory tests don't run)."""
+    commented-out FLOP counter references it), clip (loaded in-loop only
+    for adj-n/con-n, which the trajectory tests don't run), and
+    timm.optim.optim_factory (main_finetune_semseg.py:19 imports it but the
+    mains build param groups via lrd.param_groups_lrd, never optim_factory;
+    the shimmed `timm` is a plain module, not a package, so the submodules
+    must be pre-registered in sys.modules)."""
+    install_timm_shim()
+    if "timm.optim.optim_factory" not in sys.modules:
+        timm = sys.modules["timm"]
+        optim_mod = types.ModuleType("timm.optim")
+        factory_mod = types.ModuleType("timm.optim.optim_factory")
+        optim_mod.optim_factory = factory_mod
+        timm.optim = optim_mod
+        sys.modules["timm.optim"] = optim_mod
+        sys.modules["timm.optim.optim_factory"] = factory_mod
     if "ptflops" not in sys.modules:
         ptflops = types.ModuleType("ptflops")
 

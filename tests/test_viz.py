@@ -113,6 +113,100 @@ def test_extended_task_panels(tmp_path):
     ))
 
 
+def test_full_dense_task_panels(tmp_path, rng):
+    """Full reference layouts (VERDICT r3 item 6): semseg 5x4 with
+    attention + tap rows and per-dataset palettes (vis_ft_semseg), flow 6x4
+    with valid-masked colorizations + sparse white-out row (vis_ft_flow)."""
+    evg = rng.normal(size=(32, 32, 5)).astype(np.float32)
+    taps = {"emb_l1": rng.normal(size=(16, 8)).astype(np.float32),
+            "emb_l2": rng.normal(size=(16, 8)).astype(np.float32),
+            "emb_h": rng.normal(size=(16, 8)).astype(np.float32)}
+    attn = rng.random((2, 16, 16)).astype(np.float32)
+    lab = rng.integers(0, 6, (32, 32))
+    for ds in ("dsec", "ddd17", None):
+        p = save_semseg_panel(
+            str(tmp_path), f"ss_{ds}.png", evg, lab, lab, aux_pred=lab,
+            attn=attn, taps=taps, dataset=ds, title="epoch 1",
+        )
+        assert os.path.exists(p)
+    flow = rng.normal(size=(32, 32, 2)).astype(np.float32)
+    valid = rng.integers(0, 2, (32, 32)).astype(bool)
+    p = save_flow_panel(
+        str(tmp_path), "flow_full.png", evg, flow, flow,
+        sparse_mask=rng.integers(0, 2, (32, 32)).astype(np.float32),
+        aux_pred=flow, valid=valid, attn=attn, taps=taps, title="epoch 1",
+    )
+    assert os.path.exists(p)
+
+
+def test_dataset_palettes_match_reference():
+    """DSEC/DDD17 palettes value-exact vs the reference's color tensors
+    (ft_semseg_visualize.py:15-40); 255-ignore renders black."""
+    from eventpretrain_tpu.viz.previews import DSEC_PALETTE, DDD17_PALETTE
+
+    assert tuple(DSEC_PALETTE[5]) == (128, 64, 128)   # dsec_color_class_5
+    assert tuple(DSEC_PALETTE[10]) == (220, 220, 0)   # dsec_color_class_10
+    assert tuple(DDD17_PALETTE[2]) == (220, 220, 0)   # ddd17_color_class_2
+    img = semseg_to_color(np.array([[255, 0]]), "ddd17")
+    assert tuple(img[0, 0]) == (0, 0, 0)
+    assert tuple(img[0, 1]) == (128, 64, 128)
+
+
+def test_rec_con_panel(tmp_path, rng):
+    """Combined rec+con 9x4 layout (reference vis_pr_rec_and_con,
+    pr_visualize.py:413-601)."""
+    from eventpretrain_tpu.viz import save_rec_con_panel
+
+    evg = rng.normal(size=(32, 32, 5)).astype(np.float32)
+    frame = rng.normal(size=(32, 32, 1)).astype(np.float32)
+    num_patches, keep = 16, 4
+    ids_restore = np.argsort(rng.permutation(num_patches))
+    mask = np.ones(num_patches, np.float32)
+    mask[:keep] = 0
+    e = rng.normal(size=(16, 8)).astype(np.float32)
+    p = save_rec_con_panel(
+        str(tmp_path), "rc.png", evg, frame, frame, mask=mask, patch_size=8,
+        taps={"emb_l1": rng.normal(size=(keep, 8)).astype(np.float32)},
+        ids_restore=ids_restore, emb_h_org=e, emb_h_proj=e,
+        clip_emb_org=e, clip_emb_proj=e,
+        attn=rng.random((2, 16, 16)).astype(np.float32), title="t",
+    )
+    assert os.path.exists(p)
+
+
+def test_full_ecdp_panel(tmp_path, rng):
+    """Full 3x4 vis_pr_ecdp layout (reference pr_visualize.py:604-740):
+    masked q/k previews, unshuffled CLS-attention maps, embedding tiles."""
+    from eventpretrain_tpu.viz import save_ecdp_panel
+    from eventpretrain_tpu.viz.panels import _cls_attn_map, _vec_to_tile
+
+    img = rng.normal(size=(32, 32, 2)).astype(np.float32)
+    num_patches, keep = 16, 4
+    mask = np.ones(num_patches, np.float32)
+    mask[:keep] = 0
+    ids_restore = np.argsort(rng.permutation(num_patches))
+    attn = rng.random((2, 2 + keep, 2 + keep)).astype(np.float32)
+    p = save_ecdp_panel(
+        str(tmp_path), "ecdp_full.png", img, img,
+        mask_q=mask, mask_k=mask, ids_restore_q=ids_restore,
+        ids_restore_k=ids_restore, attn_q=attn, attn_k=attn,
+        clip_emb_org=rng.normal(size=(512,)).astype(np.float32),
+        clip_emb_proj=rng.normal(size=(256,)).astype(np.float32),
+        emb_image_q_org=rng.normal(size=(384,)).astype(np.float32),
+        emb_image_q=rng.normal(size=(256,)).astype(np.float32),
+        emb_event_q_org=rng.normal(size=(384,)).astype(np.float32),
+        emb_event_q=rng.normal(size=(256,)).astype(np.float32),
+        patch_size=8, title="t",
+    )
+    assert os.path.exists(p)
+    # tile reshapes match the reference's 384->16x24 / 256->16x16
+    assert _vec_to_tile(np.zeros(384)).shape == (24, 16)
+    assert _vec_to_tile(np.zeros(256)).shape == (16, 16)
+    # CLS-attention map: visible rows land where ids_restore puts them
+    a = _cls_attn_map(attn, ids_restore, skip=2)
+    assert a.shape == (4, 4) and np.isfinite(a).all()
+
+
 def test_masked_composite_reconstruction_panel(tmp_path, rng):
     """Full vis_pr_rec layout (reference pr_visualize.py:39-147): stage-map
     rows unshuffled from visible tokens and the masked-composite last row."""
