@@ -42,6 +42,19 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Persistent XLA compilation cache: the suite is compile-dominated (~20-40s
+# per phase executable), and the driver re-runs this file fresh every round
+# under a hard timeout (BENCH_r03 hit it, rc=124). With the cache warm —
+# any prior run of bench.py or the test suite on this machine — every jit
+# below loads in milliseconds and the whole suite fits the budget with
+# room to spare. Timing stays honest: timed windows never include compile
+# (every benchmark warms up first).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 REF_SAMPLES_PER_SEC_PER_GPU = 250.0  # see BASELINE.md "Measured baselines"
 
 

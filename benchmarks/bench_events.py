@@ -85,6 +85,41 @@ def main():
         results.append(row)
         import sys
         print(json.dumps(row), file=sys.stderr)
+
+    # DSEC shape again through the tiled MXU path: host tile bucketing
+    # (native C++ counting sort, overlappable with device compute in the
+    # pipeline) + the tiled splat kernel (pallas_voxel.py::
+    # voxelize_batch_mxu_tiled). Reported separately so the device kernel
+    # and the host routing cost are both visible.
+    from eventpretrain_tpu.native import bucket_pack_event_batch
+    from eventpretrain_tpu.ops.pallas_voxel import voxelize_batch_mxu_tiled
+
+    b, e, h, w, bins = configs[-1]
+    raw_sets = [synth(b, e, h, w, seed=200 + s_) for s_ in range(9)]
+    t0 = time.perf_counter()
+    bucketed_sets = [
+        bucket_pack_event_batch(
+            np.asarray(ev), np.asarray(counts), height=h, width=w
+        )
+        for ev, counts in raw_sets
+    ]
+    host_ms = (time.perf_counter() - t0) / len(raw_sets) * 1e3
+    arg_sets = [
+        (jnp.asarray(ev), jnp.asarray(tab), jnp.asarray(tr),
+         jnp.asarray(ctr))
+        for ev, tab, tr, ctr in bucketed_sets
+    ]
+    dt_tiled = timeit(
+        voxelize_batch_mxu_tiled, arg_sets, num_bins=bins, height=h, width=w
+    )
+    row = {
+        "config": f"B{b}xE{e} {h}x{w}x{bins} tiled",
+        "ms": round(dt_tiled * 1e3, 3),
+        "m_events_per_sec": round(b * e / dt_tiled / 1e6, 1),
+        "host_bucket_ms": round(host_ms, 3),
+    }
+    results.append(row)
+    print(json.dumps(row), file=sys.stderr)
     return results
 
 

@@ -148,6 +148,39 @@ def encode_events_u32(
     return out, t_range
 
 
+def encode_events_u32_full(
+    packed: np.ndarray,
+    t_range: np.ndarray,
+    out: np.ndarray | None = None,
+) -> np.ndarray:
+    """u32-encode EVERY slot of an already-bucketed batch against an
+    explicit per-sample time window -> ``(B, E)`` uint32.
+
+    The prefix-based ``encode_events_u32`` assumes valid entries leading
+    and reads the window off slots 0 / n-1; after tile bucketing
+    (native/bucket_pack_event_batch) neither holds — validity is carried
+    by the out-of-frame coordinate sentinels (which this encoding
+    preserves: x=2047 stays 2047) and the window comes from the bucketer.
+    Decoded by the same ``decode_events_u32``.
+    """
+    b, e, _ = packed.shape
+    if out is None or out.shape != (b, e) or out.dtype != np.uint32:
+        out = np.empty((b, e), np.uint32)
+    x = packed[..., 0].astype(np.int64)
+    y = packed[..., 1].astype(np.int64)
+    x = np.where((x < 0) | (x >= X_SENTINEL), X_SENTINEL, x)
+    y = np.where((y < 0) | (y >= Y_SENTINEL), Y_SENTINEL, y)
+    t0 = t_range[:, 0:1].astype(np.float32)
+    t1 = t_range[:, 1:2].astype(np.float32)
+    dt = np.where(t1 - t0 == 0, 1.0, t1 - t0)
+    t = np.clip(
+        (packed[..., 2] - t0) / dt * T32_SCALE + 0.5, 0, T32_SCALE
+    ).astype(np.int64)
+    pos = (packed[..., 3] > 0).astype(np.int64)
+    np.copyto(out, (x | (y << 11) | (t << 21) | (pos << 31)).astype(np.uint32))
+    return out
+
+
 def decode_events_u32(encoded: jax.Array, t_range: jax.Array) -> jax.Array:
     """Device-side inverse -> (B, E, 4) f32 xytp (p in {-1, +1})."""
     w = encoded.astype(jnp.uint32)

@@ -63,6 +63,12 @@ class DenseDataConfig:
     label_size: Optional[tuple[int, int]] = None  # None = input_size
     compact_transfer: bool = True   # uint16 event codec (data/codec.py)
     transfer_codec: str = "u32"     # "u32" | "u16" (data/codec.py)
+    # Large-grid rasterizer: "auto" routes voxel grids too big for the
+    # dense MXU splat (DSEC 440x640) through host tile bucketing + the
+    # tiled MXU kernel (ops/pallas_voxel.py::voxelize_batch_mxu_tiled,
+    # ~5x the XLA scatter) on TPU; "on"/"off" force it (tests use "on"
+    # to exercise the path in interpret mode on CPU).
+    tiled_raster: str = "auto"      # "auto" | "on" | "off"
 
 
 @functools.partial(
@@ -74,6 +80,7 @@ def _device_preprocess(
     events, counts, labels, valid, params: ViewParams, *,
     num_bins: int, height: int, width: int, out_size: int, task: str,
     label_h: int, label_w: int, resize_mode: str = "bilinear", t_range=None,
+    tile_table=None, tile_chunk_trange=None,
 ):
     from eventpretrain_tpu.data.representations import build_representation
 
@@ -87,8 +94,12 @@ def _device_preprocess(
         normalize_representation,
     )
 
+    # tile_table selects the host-bucketed large-grid MXU splat path
+    # (native/bucket_pack_event_batch + pallas_voxel tiled kernels)
     evg_org = build_representation(
-        events, counts, num_bins=num_bins, height=height, width=width
+        events, counts, num_bins=num_bins, height=height, width=width,
+        tile_table=tile_table, t_range=t_range,
+        chunk_trange=tile_chunk_trange,
     )
     evg = apply_view_augment(
         evg_org, params, (out_size, out_size), resize_mode,
@@ -138,6 +149,21 @@ class DensePipeline:
         self._enc_i = 0
         self._pack_buffers = [None, None]  # rotate to dodge page faults
         self._pack_i = 0
+        if cfg.tiled_raster == "auto":
+            from eventpretrain_tpu.ops.pallas_voxel import (
+                supports_mxu_voxelizer,
+            )
+
+            self._tiled = (
+                not supports_mxu_voxelizer(
+                    cfg.sensor_height, cfg.sensor_width
+                )
+                and jax.default_backend() == "tpu"
+            )
+        else:
+            self._tiled = cfg.tiled_raster == "on"
+        self._bucket_buffers = [None, None]
+        self._bucket_i = 0
 
     def __len__(self) -> int:
         return max(len(self.source) // self.batch_size, 1)
@@ -191,14 +217,44 @@ class DensePipeline:
             valid_arr = (
                 jnp.asarray(np.stack(valids)) if valids else jnp.zeros(())
             )
-            self._enc_i ^= 1
-            dev_events, dev_t_range, self._enc_buffers[self._enc_i] = (
-                encode_for_transfer(
-                    packed, counts, cfg.compact_transfer,
-                    out=self._enc_buffers[self._enc_i],
-                    codec=cfg.transfer_codec,
+            tile_table = tile_chunk_trange = None
+            if self._tiled:
+                from eventpretrain_tpu.data.codec import (
+                    encode_events_u32_full,
                 )
-            )
+                from eventpretrain_tpu.native import bucket_pack_event_batch
+
+                self._bucket_i ^= 1
+                bucketed, table, t_rng, chunk_tr = bucket_pack_event_batch(
+                    packed, counts, height=cfg.sensor_height,
+                    width=cfg.sensor_width,
+                    out=self._bucket_buffers[self._bucket_i],
+                )
+                self._bucket_buffers[self._bucket_i] = bucketed
+                if cfg.compact_transfer:
+                    # bucketed layouts always ride the u32 codec (the only
+                    # one whose sentinels + explicit-window encoder the
+                    # tiled voxelizer's contract needs)
+                    self._enc_i ^= 1
+                    enc = encode_events_u32_full(
+                        bucketed, t_rng, out=self._enc_buffers[self._enc_i]
+                    )
+                    self._enc_buffers[self._enc_i] = enc
+                    dev_events = jnp.asarray(enc)
+                else:
+                    dev_events = jnp.asarray(bucketed)
+                dev_t_range = jnp.asarray(t_rng)
+                tile_table = jnp.asarray(table)
+                tile_chunk_trange = jnp.asarray(chunk_tr)
+            else:
+                self._enc_i ^= 1
+                dev_events, dev_t_range, self._enc_buffers[self._enc_i] = (
+                    encode_for_transfer(
+                        packed, counts, cfg.compact_transfer,
+                        out=self._enc_buffers[self._enc_i],
+                        codec=cfg.transfer_codec,
+                    )
+                )
             batch = _device_preprocess(
                 dev_events,
                 jnp.asarray(counts),
@@ -214,6 +270,8 @@ class DensePipeline:
                 label_w=label_hw[1],
                 resize_mode=cfg.resize_mode,
                 t_range=dev_t_range,
+                tile_table=tile_table,
+                tile_chunk_trange=tile_chunk_trange,
             )
             batch["num_valid"] = jnp.asarray(num_valid, jnp.int32)
             yield batch

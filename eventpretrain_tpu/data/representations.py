@@ -39,6 +39,9 @@ def build_representation(
     width: int,
     sensor_hw: Optional[jax.Array] = None,
     use_evrep: bool = False,
+    tile_table: Optional[jax.Array] = None,
+    t_range: Optional[jax.Array] = None,
+    chunk_trange: Optional[jax.Array] = None,
 ) -> jax.Array:
     """(B, E, 4) padded events -> (B, height, width, C) representation.
 
@@ -61,8 +64,41 @@ def build_representation(
     if use_evrep:
         from eventpretrain_tpu.ops.events import events_to_evrep
 
+        assert tile_table is None, "EvRep has no tiled splat path"
         fn = functools.partial(events_to_evrep, height=height, width=width)
         return jax.vmap(fn)(events, counts)
+    if tile_table is not None:
+        # tile-bucketed layout (native/bucket_pack_event_batch) -> the
+        # large-grid tiled MXU splat; validity is coordinate-based and the
+        # time window explicit (bucketing destroyed prefix/time order)
+        from eventpretrain_tpu.ops.events import polarity_weights_coordvalid
+        from eventpretrain_tpu.ops.pallas_voxel import (
+            splat_mxu_tiled,
+            voxelize_batch_mxu_tiled,
+        )
+
+        if num_bins in (2, 3):
+            img = splat_mxu_tiled(
+                events[..., 1].astype(jnp.int32),
+                events[..., 0].astype(jnp.int32),
+                polarity_weights_coordvalid(events, height, width),
+                tile_table, height=height, width=width,
+            )
+            if num_bins == 2:
+                return img
+            zeros = jnp.zeros_like(img[..., :1])
+            img = jnp.concatenate(
+                [img[..., :1], zeros, img[..., 1:]], axis=-1
+            ) / 255.0
+            if sensor_hw is None:
+                return jax.vmap(remove_hot_pixels)(img)
+            return jax.vmap(remove_hot_pixels, in_axes=(0, None, 0))(
+                img, 10.0, sensor_hw
+            )
+        return voxelize_batch_mxu_tiled(
+            events, tile_table, t_range, chunk_trange, num_bins=num_bins,
+            height=height, width=width,
+        )
     if num_bins == 2:
         return events_to_image_ecdp_batch(
             events, counts, height=height, width=width

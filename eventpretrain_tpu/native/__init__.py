@@ -194,6 +194,137 @@ def augment_pack_event_batch(
     return out, counts
 
 
+BUCKET_X_SENTINEL = 2047.0  # == data/codec.py X_SENTINEL: survives the u32
+BUCKET_Y_SENTINEL = 1023.0  # codec and decodes out-of-frame on device
+
+
+def _bucket_layout(cap, height, width, tile_h, tile_w, chunk):
+    tiles_y = -(-height // tile_h)
+    tiles_x = -(-width // tile_w)
+    t = tiles_y * tiles_x
+    epad = -(-cap // chunk) * chunk + t * chunk
+    return tiles_y, tiles_x, t, epad, epad // chunk
+
+
+def _bind_bucket(lib):
+    if getattr(lib, "_bucket_bound", False):
+        return
+    lib.bucket_pack_batch.argtypes = [
+        ctypes.c_void_p,                        # packed (B, cap, 4) f32
+        ctypes.POINTER(ctypes.c_int32),         # counts (B,)
+        ctypes.c_int64, ctypes.c_int64,         # batch, cap
+        ctypes.c_int64, ctypes.c_int64,         # tile_h, tile_w
+        ctypes.c_int64, ctypes.c_int64,         # tiles_x, tiles_y
+        ctypes.c_int64, ctypes.c_int64,         # chunk, epad
+        ctypes.c_void_p,                        # out (B, epad, 4) f32
+        ctypes.c_void_p,                        # table (B, nchunks) i32
+        ctypes.c_void_p,                        # t_range (B, 2) f32
+        ctypes.c_void_p,                        # chunk_trange (B, nchunks, 2)
+    ]
+    lib.bucket_pack_batch.restype = None
+    lib._bucket_bound = True
+
+
+def bucket_pack_event_batch(
+    packed: np.ndarray,
+    counts: np.ndarray,
+    *,
+    height: int,
+    width: int,
+    tile_h: int = 128,
+    tile_w: int = 128,
+    chunk: int = 1024,
+    out: Optional[np.ndarray] = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Group a packed event batch by spatial tile for the tiled MXU splat
+    (ops/pallas_voxel.py::voxelize_batch_mxu_tiled) — a stable counting
+    sort, one O(E) pass per sample.
+
+    ``(B, cap, 4)`` f32 xytp + ``(B,)`` counts ->
+      * ``bucketed (B, EPAD, 4)`` f32: each tile's events contiguous in
+        row-major tile order, every segment padded to a multiple of
+        ``chunk`` and at least one chunk long (so every output tile is
+        visited); pad slots carry the codec-surviving out-of-frame
+        sentinel ``(2047, 1023, t0, 0)``;
+      * ``tile_table (B, EPAD // chunk)`` i32: each chunk's tile id,
+        nondecreasing (trailing filler chunks belong to the last tile);
+      * ``t_range (B, 2)`` f32: the pre-permutation time window
+        (first/last valid timestamps), which the device voxelizer needs
+        because bucketing destroys time order;
+      * ``chunk_trange (B, EPAD // chunk, 2)`` f32: min/max timestamp of
+        each chunk's real events ((t0, t0) when all-pad) — placement
+        preserves time order within a tile, so chunks span narrow time
+        slices and the kernel can skip temporal bins they cannot touch.
+
+    The reference rasterizes DSEC-scale grids per-sample on CPU workers
+    (dataset/finetune_semseg/ft_dsec_dataset.py:152-226); here routing is
+    the only host step and the splat itself stays on the MXU.
+    """
+    batch, cap, _ = packed.shape
+    tiles_y, tiles_x, t_total, epad, n_chunks = _bucket_layout(
+        cap, height, width, tile_h, tile_w, chunk
+    )
+    counts = np.asarray(counts, np.int32)
+    if out is None or out.shape != (batch, epad, 4):
+        out = np.empty((batch, epad, 4), np.float32)
+    table = np.empty((batch, n_chunks), np.int32)
+    t_range = np.empty((batch, 2), np.float32)
+    chunk_trange = np.empty((batch, n_chunks, 2), np.float32)
+
+    lib = _get_lib()
+    if lib is not None and hasattr(lib, "bucket_pack_batch"):
+        _bind_bucket(lib)
+        packed_c = np.ascontiguousarray(packed, np.float32)
+        lib.bucket_pack_batch(
+            packed_c.ctypes.data_as(ctypes.c_void_p),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            batch, cap, tile_h, tile_w, tiles_x, tiles_y, chunk, epad,
+            out.ctypes.data_as(ctypes.c_void_p),
+            table.ctypes.data_as(ctypes.c_void_p),
+            t_range.ctypes.data_as(ctypes.c_void_p),
+            chunk_trange.ctypes.data_as(ctypes.c_void_p),
+        )
+        return out, table, t_range, chunk_trange
+
+    for i in range(batch):
+        n = int(counts[i])
+        ev = packed[i, :n]
+        t0 = float(ev[0, 2]) if n else 0.0
+        t1 = float(ev[n - 1, 2]) if n else 0.0
+        t_range[i] = (t0, t1)
+        chunk_trange[i] = t0
+        xi = ev[:, 0].astype(np.int64)
+        yi = ev[:, 1].astype(np.int64)
+        tid = np.clip(yi // tile_h, 0, tiles_y - 1) * tiles_x + np.clip(
+            xi // tile_w, 0, tiles_x - 1
+        )
+        cnts = np.bincount(tid, minlength=t_total).astype(np.int64)
+        region = np.maximum(-(-cnts // chunk) * chunk, chunk)
+        starts = np.concatenate([[0], np.cumsum(region)])
+        order = np.argsort(tid, kind="stable")
+        csum = np.concatenate([[0], np.cumsum(cnts)])
+        sorted_tid = tid[order]
+        dest = starts[sorted_tid] + (np.arange(n) - csum[sorted_tid])
+        out[i] = (BUCKET_X_SENTINEL, BUCKET_Y_SENTINEL, t0, 0.0)
+        out[i, dest] = ev[order]
+        if n:
+            # dest is strictly increasing over the sorted order, so chunk
+            # boundaries are where dest // chunk changes; time order holds
+            # within each tile (stable sort), hence within each chunk
+            c_of = dest // chunk
+            t_sorted = ev[order][:, 2]
+            first = np.r_[True, c_of[1:] != c_of[:-1]]
+            last = np.r_[c_of[1:] != c_of[:-1], True]
+            chunk_trange[i, c_of[first], 0] = t_sorted[first]
+            chunk_trange[i, c_of[last], 1] = t_sorted[last]
+        used = int(starts[t_total]) // chunk
+        table[i, :used] = np.repeat(
+            np.arange(t_total, dtype=np.int32), region // chunk
+        )
+        table[i, used:] = t_total - 1
+    return out, table, t_range, chunk_trange
+
+
 def _bind_group_windows(lib):
     if getattr(lib, "_group_windows_bound", False):
         return

@@ -247,3 +247,112 @@ void group_windows_native(int64_t capacity, const int32_t* weights,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Tile bucketing for the large-grid MXU splat
+// (ops/pallas_voxel.py::voxelize_batch_mxu_tiled).
+//
+// A stable counting sort per sample: count events per (tile_h x tile_w)
+// spatial tile, lay tiles out contiguously in row-major tile order with
+// each segment padded to a multiple of `chunk` (and at least one chunk,
+// so every output tile is visited by the kernel), then place events in a
+// second O(E) pass. Pad slots carry the codec-surviving out-of-frame
+// sentinel (2047, 1023, t0, 0). Semantics are pinned bit-exact against
+// the numpy fallback (native/__init__.py::bucket_pack_event_batch) by
+// tests/test_tiled_voxel.py.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// chunk_trange: (B, n_chunks, 2) f32 min/max timestamp over each chunk's
+// REAL events ((t0, t0) for all-pad chunks) — lets the device kernel skip
+// temporal bins no event in the chunk can touch (events stay time-sorted
+// within a tile, so a chunk spans a narrow slice of the window).
+void bucket_pack_batch(const float* packed, const int32_t* counts,
+                       int64_t batch, int64_t cap, int64_t tile_h,
+                       int64_t tile_w, int64_t tiles_x, int64_t tiles_y,
+                       int64_t chunk, int64_t epad, float* out,
+                       int32_t* table, float* t_range, float* chunk_trange) {
+  const int64_t row = 4;
+  const int64_t t_total = tiles_x * tiles_y;
+  const int64_t n_chunks = epad / chunk;
+
+  int num_threads = std::min<int64_t>(
+      batch, std::max(1u, std::thread::hardware_concurrency()));
+  std::atomic<int64_t> next(0);
+
+  auto worker = [&]() {
+    std::vector<int64_t> cnts(t_total), starts(t_total + 1), fill(t_total);
+    int64_t i;
+    while ((i = next.fetch_add(1)) < batch) {
+      const float* src = packed + i * cap * row;
+      float* dst = out + i * epad * row;
+      int32_t* tab = table + i * n_chunks;
+      const int64_t n = counts[i];
+      const float t0 = n > 0 ? src[2] : 0.0f;
+      const float t1 = n > 0 ? src[(n - 1) * row + 2] : 0.0f;
+      t_range[i * 2] = t0;
+      t_range[i * 2 + 1] = t1;
+
+      auto tile_of = [&](const float* e) -> int64_t {
+        int64_t tx = static_cast<int64_t>(e[0]) / tile_w;
+        int64_t ty = static_cast<int64_t>(e[1]) / tile_h;
+        tx = std::min(std::max(tx, int64_t{0}), tiles_x - 1);
+        ty = std::min(std::max(ty, int64_t{0}), tiles_y - 1);
+        return ty * tiles_x + tx;
+      };
+
+      std::fill(cnts.begin(), cnts.end(), 0);
+      for (int64_t e = 0; e < n; ++e) ++cnts[tile_of(src + e * row)];
+
+      int64_t off = 0;
+      for (int64_t t = 0; t < t_total; ++t) {
+        starts[t] = off;
+        int64_t region = std::max((cnts[t] + chunk - 1) / chunk, int64_t{1});
+        off += region * chunk;
+      }
+      starts[t_total] = off;
+
+      // sentinel-fill every slot, then place events (pad slots keep it)
+      for (int64_t s = 0; s < epad; ++s) {
+        float* d = dst + s * row;
+        d[0] = 2047.0f;
+        d[1] = 1023.0f;
+        d[2] = t0;
+        d[3] = 0.0f;
+      }
+      float* ctr = chunk_trange + i * n_chunks * 2;
+      for (int64_t c = 0; c < n_chunks; ++c) {
+        ctr[c * 2] = t0;
+        ctr[c * 2 + 1] = t0;
+      }
+      std::copy(starts.begin(), starts.end() - 1, fill.begin());
+      for (int64_t e = 0; e < n; ++e) {
+        const float* ev = src + e * row;
+        const int64_t dest = fill[tile_of(ev)]++;
+        std::memcpy(dst + dest * row, ev, row * sizeof(float));
+        const int64_t c = dest / chunk;
+        // placement preserves time order within a tile and tile segments
+        // are chunk-aligned, so a chunk's first filled slot (dest % chunk
+        // == 0) is its min timestamp and the last placed is its max
+        if (dest % chunk == 0) ctr[c * 2] = ev[2];
+        ctr[c * 2 + 1] = ev[2];
+      }
+
+      int64_t c = 0;
+      for (int64_t t = 0; t < t_total; ++t) {
+        const int64_t region_chunks = (starts[t + 1] - starts[t]) / chunk;
+        for (int64_t r = 0; r < region_chunks; ++r)
+          tab[c++] = static_cast<int32_t>(t);
+      }
+      for (; c < n_chunks; ++c) tab[c] = static_cast<int32_t>(t_total - 1);
+    }
+  };
+
+  std::vector<std::thread> threads;
+  threads.reserve(num_threads);
+  for (int t = 0; t < num_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+}
+
+}  // extern "C"

@@ -251,12 +251,28 @@ def bilinear_bin_weights(events, counts, num_bins):
     """
     e = events.shape[1]
     t = events[..., 2]
-    p = jnp.where(events[..., 3] == 0, -1.0, events[..., 3])
     valid = jnp.arange(e)[None] < counts[:, None]
     first = t[:, 0]
     last = jnp.take_along_axis(
         t, jnp.maximum(counts - 1, 0)[:, None], axis=1
     )[:, 0]
+    return bilinear_bin_weights_windowed(
+        events, valid, first, last, num_bins
+    )
+
+
+def bilinear_bin_weights_windowed(events, valid, first, last, num_bins):
+    """``bilinear_bin_weights`` with an explicit validity mask and time
+    window.
+
+    Needed by the tile-bucketed splat path (ops/pallas_voxel.py::
+    voxelize_batch_mxu_tiled): host bucketing reorders events by spatial
+    tile, so neither "valid entries leading" nor "first/last slot = window
+    bounds" holds — validity is per-slot and the window ``[first, last]``
+    (per-sample ``(B,)`` f32) is computed before the permutation.
+    """
+    t = events[..., 2]
+    p = jnp.where(events[..., 3] == 0, -1.0, events[..., 3])
     delta_t = jnp.where(last - first == 0, 1.0, last - first)
     ts = (num_bins - 1) * (t - first[:, None]) / delta_t[:, None]
     tis = jnp.floor(ts)
@@ -311,6 +327,21 @@ def _polarity_weights(events, counts):
     """(B, 2, E) f32 [pos, neg] indicators, zeroed beyond count."""
     b, e = events.shape[:2]
     valid = (jnp.arange(e)[None] < counts[:, None]).astype(jnp.float32)
+    p = events[..., 3]
+    pos = jnp.where(p > 0, 1.0, 0.0) * valid
+    neg = jnp.where(p <= 0, 1.0, 0.0) * valid
+    return jnp.stack([pos, neg], axis=1)
+
+
+def polarity_weights_coordvalid(events, height, width):
+    """``_polarity_weights`` with coordinate-based validity — for
+    tile-bucketed layouts (native/bucket_pack_event_batch) where validity
+    is carried by out-of-frame pad sentinels, not a leading prefix."""
+    x = events[..., 0].astype(jnp.int32)
+    y = events[..., 1].astype(jnp.int32)
+    valid = (
+        (x >= 0) & (x < width) & (y >= 0) & (y < height)
+    ).astype(jnp.float32)
     p = events[..., 3]
     pos = jnp.where(p > 0, 1.0, 0.0) * valid
     neg = jnp.where(p <= 0, 1.0, 0.0) * valid

@@ -198,6 +198,24 @@ def _mxu_voxel_kernel(yt_ref, xt_ref, hi_ref, lo_ref, out_ref, *,
         out_ref[0, b] += acc
 
 
+def _hi_lo_bf16(weights: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """f32 -> (hi, lo) bf16 split via mantissa truncation. NOT the usual
+    hi = cast(w, bf16); lo = w - cast(hi, f32): the terminal sets
+    --xla_allow_excess_precision, under which XLA treats the f32->bf16
+    ->f32 round-trip as identity and folds lo to ZERO (measured: error
+    jumped from 1e-5 to 5e-3). Masking the low mantissa bits through an
+    integer bitcast is opaque to that rewrite and truncation is exactly
+    representable in bf16."""
+    hi_f32 = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(weights, jnp.uint32)
+        & jnp.uint32(0xFFFF0000),
+        jnp.float32,
+    )
+    hi = hi_f32.astype(jnp.bfloat16)
+    lo = (weights - hi_f32).astype(jnp.bfloat16)
+    return hi, lo
+
+
 def splat_mxu(
     y: jax.Array,
     x: jax.Array,
@@ -221,20 +239,7 @@ def splat_mxu(
         interpret = jax.default_backend() != "tpu"
     b, e = y.shape
     c = weights.shape[1]
-    # hi/lo bf16 split via mantissa truncation. NOT the usual
-    # hi = cast(w, bf16); lo = w - cast(hi, f32): the terminal sets
-    # --xla_allow_excess_precision, under which XLA treats the f32->bf16
-    # ->f32 round-trip as identity and folds lo to ZERO (measured: error
-    # jumped from 1e-5 to 5e-3). Masking the low mantissa bits through an
-    # integer bitcast is opaque to that rewrite and truncation is exactly
-    # representable in bf16.
-    hi_f32 = jax.lax.bitcast_convert_type(
-        jax.lax.bitcast_convert_type(weights, jnp.uint32)
-        & jnp.uint32(0xFFFF0000),
-        jnp.float32,
-    )
-    hi = hi_f32.astype(jnp.bfloat16)
-    lo = (weights - hi_f32).astype(jnp.bfloat16)
+    hi, lo = _hi_lo_bf16(weights)
 
     pad = (-e) % chunk
     if pad:
@@ -295,4 +300,207 @@ def voxelize_batch_mxu(
     return splat_mxu(
         y, x, wb, height=height, width=width, chunk=chunk,
         interpret=interpret,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tile-bucketed MXU splat — the LARGE-grid production kernel.
+#
+# The dense formulation above costs 2*H*W*chunk FLOPs per chunk regardless
+# of where the events land, so at DSEC scale (440x640) it loses to the O(E)
+# XLA scatter (BASELINE.md: 41.7 ms vs ~9 projected seconds per batch). The
+# tiled variant restores MXU viability by exploiting spatial sparsity the
+# only way a systolic array can: ROUTE events to (tile_h x tile_w) spatial
+# tiles on the host (native/bucket_pack_event_batch — a counting sort, one
+# O(E) pass), then splat each chunk into only its own tile's (TH, TW) block.
+# Per-event FLOPs drop from 2*H*W*2*NB to 2*TH*TW*2*NB — 17x at 128x128
+# tiles on 448x640 — which beats the scatter ~5x at DSEC shape.
+#
+# Contract with the host bucketer:
+#   * events arrive grouped by tile id (row-major tile raster order), each
+#     tile's segment padded to a multiple of `chunk` and spanning at least
+#     one full chunk (so every output tile is visited and zero-initialized
+#     even when empty);
+#   * `tile_table` (B, n_chunks) i32 gives each chunk's tile id,
+#     NONDECREASING along chunks — consecutive grid steps that share a tile
+#     revisit the same output block in VMEM, which is what makes `+=`
+#     accumulation legal in Pallas;
+#   * pad slots carry out-of-frame coordinates (x >= width) so their
+#     one-hot columns match nothing, and their weights are already zero.
+# ---------------------------------------------------------------------------
+
+
+def _mxu_tiled_kernel(table_ref, bins_ref, y_ref, x_ref, hi_ref, lo_ref,
+                      out_ref, *, num_bins: int, tile_h: int, tile_w: int,
+                      tiles_x: int):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    t = table_ref[i, j]
+    prev = table_ref[i, jnp.maximum(j - 1, 0)]
+
+    @pl.when((j == 0) | (t != prev))
+    def _zero():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    yt = y_ref[0] - (t // tiles_x) * tile_h   # (1, K) local row, <0 or >=TH
+    xt = x_ref[0] - (t % tiles_x) * tile_w    # for foreign/pad slots
+    k = yt.shape[-1]
+    yohT = (
+        jax.lax.broadcasted_iota(jnp.int32, (tile_h, k), 0) == yt
+    ).astype(jnp.bfloat16)                                    # (TH, K)
+    xohT = (
+        jax.lax.broadcasted_iota(jnp.int32, (tile_w, k), 0) == xt
+    ).astype(jnp.bfloat16)                                    # (TW, K)
+    hi = hi_ref[0]   # (NB, K) bf16
+    lo = lo_ref[0]
+    bmin = bins_ref[i, j, 0]
+    bmax = bins_ref[i, j, 1]
+    for b in range(num_bins):
+        # chunks span narrow time slices (time order survives bucketing
+        # within a tile), so most of the num_bins matmul pairs are all-zero
+        # weights — predicate them off the per-chunk bin range
+        @pl.when((b >= bmin) & (b <= bmax))
+        def _accum(b=b):
+            acc = jax.lax.dot_general(
+                yohT, xohT * hi[b:b + 1, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                yohT, xohT * lo[b:b + 1, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out_ref[0, b] += acc
+
+
+def splat_mxu_tiled(
+    y: jax.Array,
+    x: jax.Array,
+    weights: jax.Array,
+    tile_table: jax.Array,
+    bin_range: jax.Array | None = None,
+    *,
+    height: int,
+    width: int,
+    tile_h: int = 128,
+    tile_w: int = 128,
+    chunk: int = MXU_CHUNK,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Tile-bucketed splat: ``(B, C, E)`` weights at global integer coords
+    ``y, x (B, E)`` -> ``(B, H, W, C)``, with events pre-grouped by spatial
+    tile and ``tile_table (B, E // chunk)`` naming each chunk's tile.
+
+    ``E`` must be a multiple of ``chunk`` (the host bucketer pads each
+    tile's segment to chunk alignment). Invalid slots must carry zero
+    weights; coordinates outside the chunk's tile contribute nothing.
+    ``bin_range (B, E // chunk, 2)`` i32 optionally bounds the channels a
+    chunk's weights can occupy (inclusive); channels outside it are
+    skipped, not just zero — the bounds must be conservative.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, e = y.shape
+    c = weights.shape[1]
+    assert e % chunk == 0, "bucketed layout must be chunk-aligned"
+    tiles_x = -(-width // tile_w)
+    tiles_y = -(-height // tile_h)
+    n_chunks = e // chunk
+    assert tile_table.shape == (b, n_chunks), tile_table.shape
+    if bin_range is None:
+        bin_range = jnp.broadcast_to(
+            jnp.asarray([0, c - 1], jnp.int32), (b, n_chunks, 2)
+        )
+    hi, lo = _hi_lo_bf16(weights)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # tile_table + bin_range land in SMEM
+        grid=(b, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, 1, chunk), lambda i, j, tab, br: (i, 0, j)),
+            pl.BlockSpec((1, 1, chunk), lambda i, j, tab, br: (i, 0, j)),
+            pl.BlockSpec((1, c, chunk), lambda i, j, tab, br: (i, 0, j)),
+            pl.BlockSpec((1, c, chunk), lambda i, j, tab, br: (i, 0, j)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, c, tile_h, tile_w),
+            lambda i, j, tab, br: (
+                i, 0, tab[i, j] // tiles_x, tab[i, j] % tiles_x
+            ),
+        ),
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _mxu_tiled_kernel, num_bins=c, tile_h=tile_h, tile_w=tile_w,
+            tiles_x=tiles_x,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (b, c, tiles_y * tile_h, tiles_x * tile_w), jnp.float32
+        ),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+    )(
+        tile_table.astype(jnp.int32), bin_range.astype(jnp.int32),
+        y[:, None, :], x[:, None, :], hi, lo,
+    )
+    out = jnp.transpose(out, (0, 2, 3, 1))  # (B, Hpad, Wpad, C)
+    return out[:, :height, :width, :]
+
+
+def voxelize_batch_mxu_tiled(
+    events: jax.Array,
+    tile_table: jax.Array,
+    t_range: jax.Array,
+    chunk_trange: jax.Array | None = None,
+    *,
+    num_bins: int,
+    height: int,
+    width: int,
+    tile_h: int = 128,
+    tile_w: int = 128,
+    chunk: int = MXU_CHUNK,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Voxelize tile-bucketed events: ``(B, E, 4)`` xytp (grouped by tile,
+    chunk-aligned — see native/bucket_pack_event_batch), ``tile_table
+    (B, E//chunk)`` i32, ``t_range (B, 2)`` f32 pre-permutation time window
+    -> ``(B, H, W, num_bins)``.
+
+    Validity is coordinate-based (pad slots carry x >= width / y >= height
+    sentinels — the u32/u16 codecs preserve them), and the time window is
+    explicit because after bucketing neither "valid entries leading" nor
+    "first/last slot = window bounds" holds.
+
+    ``chunk_trange (B, E//chunk, 2)`` (the bucketer's 4th output) bounds
+    each chunk's temporal bin span so the kernel skips bins no event in
+    the chunk can touch; the 0.01-bin slack below conservatively covers
+    both f32 evaluation noise and the u32 codec's t quantization
+    ((num_bins-1)/1023 < 0.004 bins).
+    """
+    from eventpretrain_tpu.ops.events import bilinear_bin_weights_windowed
+
+    x = events[..., 0].astype(jnp.int32)
+    y = events[..., 1].astype(jnp.int32)
+    valid = (x >= 0) & (x < width) & (y >= 0) & (y < height)
+    wb = bilinear_bin_weights_windowed(
+        events, valid, t_range[:, 0], t_range[:, 1], num_bins
+    )  # (B, E, NB) f32
+    wb = jnp.transpose(wb, (0, 2, 1))  # (B, NB, E)
+    bin_range = None
+    if chunk_trange is not None:
+        t0 = t_range[:, 0:1, None]
+        dt = t_range[:, 1:2, None] - t0
+        dt = jnp.where(dt == 0, 1.0, dt)
+        ts = (num_bins - 1) * (chunk_trange - t0) / dt  # (B, NC, 2)
+        bmin = jnp.clip(
+            jnp.floor(ts[..., 0] - 0.01), 0, num_bins - 1
+        ).astype(jnp.int32)
+        bmax = jnp.clip(
+            jnp.floor(ts[..., 1] + 0.01) + 1, 0, num_bins - 1
+        ).astype(jnp.int32)
+        bin_range = jnp.stack([bmin, bmax], axis=-1)
+    return splat_mxu_tiled(
+        y, x, wb, tile_table, bin_range, height=height, width=width,
+        tile_h=tile_h, tile_w=tile_w, chunk=chunk, interpret=interpret,
     )
