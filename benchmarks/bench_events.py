@@ -95,15 +95,28 @@ def main():
     from eventpretrain_tpu.ops.pallas_voxel import voxelize_batch_mxu_tiled
 
     b, e, h, w, bins = configs[-1]
-    raw_sets = [synth(b, e, h, w, seed=200 + s_) for s_ in range(9)]
+    # materialize on host BEFORE the timer: synth returns jnp arrays, and a
+    # device->host fetch inside the timed loop would inflate host_bucket_ms
+    raw_sets = [
+        tuple(np.asarray(a) for a in synth(b, e, h, w, seed=200 + s_))
+        for s_ in range(9)
+    ]
+    # warm call: absorbs the one-time g++ build of the native library and
+    # the first-touch faults of the output buffer, which the pipeline
+    # amortizes by rotating preallocated buffers (data/dense_pipeline.py)
+    out_buf = bucket_pack_event_batch(
+        raw_sets[0][0], raw_sets[0][1], height=h, width=w
+    )[0]
     t0 = time.perf_counter()
+    for ev, counts in raw_sets:
+        bucket_pack_event_batch(ev, counts, height=h, width=w, out=out_buf)
+    host_ms = (time.perf_counter() - t0) / len(raw_sets) * 1e3
+    # untimed re-run to materialize per-set results for the device timing
+    # (bucketing is deterministic, so these equal the timed pass's outputs)
     bucketed_sets = [
-        bucket_pack_event_batch(
-            np.asarray(ev), np.asarray(counts), height=h, width=w
-        )
+        bucket_pack_event_batch(ev, counts, height=h, width=w)
         for ev, counts in raw_sets
     ]
-    host_ms = (time.perf_counter() - t0) / len(raw_sets) * 1e3
     arg_sets = [
         (jnp.asarray(ev), jnp.asarray(tab), jnp.asarray(tr),
          jnp.asarray(ctr))
@@ -117,6 +130,8 @@ def main():
         "ms": round(dt_tiled * 1e3, 3),
         "m_events_per_sec": round(b * e / dt_tiled / 1e6, 1),
         "host_bucket_ms": round(host_ms, 3),
+        # device-kernel speedup over the XLA scatter row at the same shape
+        "vs_scatter": round(results[-1]["ms"] / (dt_tiled * 1e3), 2),
     }
     results.append(row)
     print(json.dumps(row), file=sys.stderr)

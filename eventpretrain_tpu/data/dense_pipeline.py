@@ -66,8 +66,8 @@ class DenseDataConfig:
     # Large-grid rasterizer: "auto" routes voxel grids too big for the
     # dense MXU splat (DSEC 440x640) through host tile bucketing + the
     # tiled MXU kernel (ops/pallas_voxel.py::voxelize_batch_mxu_tiled,
-    # ~5x the XLA scatter) on TPU; "on"/"off" force it (tests use "on"
-    # to exercise the path in interpret mode on CPU).
+    # measured 6.7x the XLA scatter on v5e) on TPU; "on"/"off" force it
+    # (tests use "on" to exercise the path in interpret mode on CPU).
     tiled_raster: str = "auto"      # "auto" | "on" | "off"
 
 

@@ -197,6 +197,16 @@ def augment_pack_event_batch(
 BUCKET_X_SENTINEL = 2047.0  # == data/codec.py X_SENTINEL: survives the u32
 BUCKET_Y_SENTINEL = 1023.0  # codec and decodes out-of-frame on device
 
+# Shared tiled-splat layout. The host bucketer and the Pallas tiled kernel
+# (ops/pallas_voxel.py::splat_mxu_tiled, which defaults from these names)
+# must agree on tile geometry: a chunk mismatch trips shape asserts, but a
+# tile_h/tile_w mismatch would silently misroute events (the one-hot rows
+# match nothing and the events vanish from the representation). Defined
+# here, on the host side, so ``native`` keeps its no-jax import surface.
+TILE_H = 128
+TILE_W = 128
+TILE_CHUNK = 1024
+
 
 def _bucket_layout(cap, height, width, tile_h, tile_w, chunk):
     tiles_y = -(-height // tile_h)
@@ -231,9 +241,9 @@ def bucket_pack_event_batch(
     *,
     height: int,
     width: int,
-    tile_h: int = 128,
-    tile_w: int = 128,
-    chunk: int = 1024,
+    tile_h: int = TILE_H,
+    tile_w: int = TILE_W,
+    chunk: int = TILE_CHUNK,
     out: Optional[np.ndarray] = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Group a packed event batch by spatial tile for the tiled MXU splat

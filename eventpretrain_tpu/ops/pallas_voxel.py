@@ -162,6 +162,11 @@ def voxelize_batch_pallas(
 # ops/events.py gates this kernel to height*width <= MAX_MXU_CELLS.
 # ---------------------------------------------------------------------------
 
+# Tiled-splat layout constants are owned by the host bucketer's module
+# (native/__init__.py — no-jax import surface); the tiled kernels below
+# default from them so the two sides cannot silently disagree on geometry.
+from eventpretrain_tpu.native import TILE_H, TILE_W, TILE_CHUNK
+
 MXU_CHUNK = 1024
 MAX_MXU_CELLS = 256 * 256
 
@@ -314,7 +319,11 @@ def voxelize_batch_mxu(
 # tiles on the host (native/bucket_pack_event_batch — a counting sort, one
 # O(E) pass), then splat each chunk into only its own tile's (TH, TW) block.
 # Per-event FLOPs drop from 2*H*W*2*NB to 2*TH*TW*2*NB — 17x at 128x128
-# tiles on 448x640 — which beats the scatter ~5x at DSEC shape.
+# tiles on 448x640. Measured on v5e (2026-08-21, jitted, 8x200k @ 440x640,
+# benchmarks/bench_events.py): 6.2 ms/batch = 257M events/s — 6.7x the XLA
+# scatter's 41.8 ms. (A round-4 reading of 1169 ms was a measurement
+# artifact: unjitted calls re-created the BlockSpec lambdas and recompiled
+# the kernel every invocation — see splat_mxu_tiled's docstring.)
 #
 # Contract with the host bucketer:
 #   * events arrive grouped by tile id (row-major tile raster order), each
@@ -371,6 +380,11 @@ def _mxu_tiled_kernel(table_ref, bins_ref, y_ref, x_ref, hi_ref, lo_ref,
             out_ref[0, b] += acc
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "tile_h", "tile_w", "chunk",
+                     "interpret"),
+)
 def splat_mxu_tiled(
     y: jax.Array,
     x: jax.Array,
@@ -380,9 +394,9 @@ def splat_mxu_tiled(
     *,
     height: int,
     width: int,
-    tile_h: int = 128,
-    tile_w: int = 128,
-    chunk: int = MXU_CHUNK,
+    tile_h: int = TILE_H,
+    tile_w: int = TILE_W,
+    chunk: int = TILE_CHUNK,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Tile-bucketed splat: ``(B, C, E)`` weights at global integer coords
@@ -395,6 +409,14 @@ def splat_mxu_tiled(
     ``bin_range (B, E // chunk, 2)`` i32 optionally bounds the channels a
     chunk's weights can occupy (inclusive); channels outside it are
     skipped, not just zero — the bounds must be conservative.
+
+    Jitted at this boundary: the BlockSpec index-map lambdas below are
+    fresh objects every Python call, so an unjitted call can never hit
+    pallas_call's executable cache — each call would RE-COMPILE (~1.4 s
+    measured on v5e, the source of a retracted 28x-slower-than-scatter
+    reading of this kernel; 2026-08-21). Under jit the cache keys on
+    shapes and the kernel costs what the hardware costs (6.2 ms at DSEC
+    shape — 6.7x the XLA scatter).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -448,6 +470,11 @@ def splat_mxu_tiled(
     return out[:, :height, :width, :]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_bins", "height", "width", "tile_h", "tile_w",
+                     "chunk", "interpret"),
+)
 def voxelize_batch_mxu_tiled(
     events: jax.Array,
     tile_table: jax.Array,
@@ -457,9 +484,9 @@ def voxelize_batch_mxu_tiled(
     num_bins: int,
     height: int,
     width: int,
-    tile_h: int = 128,
-    tile_w: int = 128,
-    chunk: int = MXU_CHUNK,
+    tile_h: int = TILE_H,
+    tile_w: int = TILE_W,
+    chunk: int = TILE_CHUNK,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Voxelize tile-bucketed events: ``(B, E, 4)`` xytp (grouped by tile,
@@ -474,9 +501,11 @@ def voxelize_batch_mxu_tiled(
 
     ``chunk_trange (B, E//chunk, 2)`` (the bucketer's 4th output) bounds
     each chunk's temporal bin span so the kernel skips bins no event in
-    the chunk can touch; the 0.01-bin slack below conservatively covers
-    both f32 evaluation noise and the u32 codec's t quantization
-    ((num_bins-1)/1023 < 0.004 bins).
+    the chunk can touch. The bounds are computed from the ORIGINAL f32
+    timestamps but the kernel sees codec-decoded ones, so the slack must
+    cover the u32 codec's t quantization (+-0.5/1023 of the window, i.e.
+    (num_bins-1)/2046 bins) plus f32 evaluation noise — it scales with
+    num_bins rather than assuming num_bins <= 21.
     """
     from eventpretrain_tpu.ops.events import bilinear_bin_weights_windowed
 
@@ -493,11 +522,12 @@ def voxelize_batch_mxu_tiled(
         dt = t_range[:, 1:2, None] - t0
         dt = jnp.where(dt == 0, 1.0, dt)
         ts = (num_bins - 1) * (chunk_trange - t0) / dt  # (B, NC, 2)
+        slack = 0.01 + (num_bins - 1) / 2046.0
         bmin = jnp.clip(
-            jnp.floor(ts[..., 0] - 0.01), 0, num_bins - 1
+            jnp.floor(ts[..., 0] - slack), 0, num_bins - 1
         ).astype(jnp.int32)
         bmax = jnp.clip(
-            jnp.floor(ts[..., 1] + 0.01) + 1, 0, num_bins - 1
+            jnp.floor(ts[..., 1] + slack) + 1, 0, num_bins - 1
         ).astype(jnp.int32)
         bin_range = jnp.stack([bmin, bmax], axis=-1)
     return splat_mxu_tiled(
