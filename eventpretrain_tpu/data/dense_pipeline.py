@@ -219,29 +219,36 @@ class DensePipeline:
             )
             tile_table = tile_chunk_trange = None
             if self._tiled:
-                from eventpretrain_tpu.data.codec import (
-                    encode_events_u32_full,
+                from eventpretrain_tpu.native import (
+                    bucket_pack_event_batch,
+                    bucket_pack_event_batch_u32,
                 )
-                from eventpretrain_tpu.native import bucket_pack_event_batch
 
-                self._bucket_i ^= 1
-                bucketed, table, t_rng, chunk_tr = bucket_pack_event_batch(
-                    packed, counts, height=cfg.sensor_height,
-                    width=cfg.sensor_width,
-                    out=self._bucket_buffers[self._bucket_i],
-                )
-                self._bucket_buffers[self._bucket_i] = bucketed
                 if cfg.compact_transfer:
                     # bucketed layouts always ride the u32 codec (the only
                     # one whose sentinels + explicit-window encoder the
-                    # tiled voxelizer's contract needs)
+                    # tiled voxelizer's contract needs); bucketing and
+                    # encoding are one fused native pass
                     self._enc_i ^= 1
-                    enc = encode_events_u32_full(
-                        bucketed, t_rng, out=self._enc_buffers[self._enc_i]
+                    enc, table, t_rng, chunk_tr = (
+                        bucket_pack_event_batch_u32(
+                            packed, counts, height=cfg.sensor_height,
+                            width=cfg.sensor_width,
+                            out=self._enc_buffers[self._enc_i],
+                        )
                     )
                     self._enc_buffers[self._enc_i] = enc
                     dev_events = jnp.asarray(enc)
                 else:
+                    self._bucket_i ^= 1
+                    bucketed, table, t_rng, chunk_tr = (
+                        bucket_pack_event_batch(
+                            packed, counts, height=cfg.sensor_height,
+                            width=cfg.sensor_width,
+                            out=self._bucket_buffers[self._bucket_i],
+                        )
+                    )
+                    self._bucket_buffers[self._bucket_i] = bucketed
                     dev_events = jnp.asarray(bucketed)
                 dev_t_range = jnp.asarray(t_rng)
                 tile_table = jnp.asarray(table)

@@ -335,6 +335,78 @@ def bucket_pack_event_batch(
     return out, table, t_range, chunk_trange
 
 
+def _bind_bucket_u32(lib):
+    if getattr(lib, "_bucket_u32_bound", False):
+        return
+    lib.bucket_pack_batch_u32.argtypes = [
+        ctypes.c_void_p,                        # packed (B, cap, 4) f32
+        ctypes.POINTER(ctypes.c_int32),         # counts (B,)
+        ctypes.c_int64, ctypes.c_int64,         # batch, cap
+        ctypes.c_int64, ctypes.c_int64,         # tile_h, tile_w
+        ctypes.c_int64, ctypes.c_int64,         # tiles_x, tiles_y
+        ctypes.c_int64, ctypes.c_int64,         # chunk, epad
+        ctypes.c_void_p,                        # out (B, epad) u32
+        ctypes.c_void_p,                        # table (B, nchunks) i32
+        ctypes.c_void_p,                        # t_range (B, 2) f32
+        ctypes.c_void_p,                        # chunk_trange (B, nchunks, 2)
+    ]
+    lib.bucket_pack_batch_u32.restype = None
+    lib._bucket_u32_bound = True
+
+
+def bucket_pack_event_batch_u32(
+    packed: np.ndarray,
+    counts: np.ndarray,
+    *,
+    height: int,
+    width: int,
+    tile_h: int = TILE_H,
+    tile_w: int = TILE_W,
+    chunk: int = TILE_CHUNK,
+    out: Optional[np.ndarray] = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Fused tile bucketing + u32 transfer encoding: one C++ pass placing
+    each event directly as its codec word -> ``(enc (B, EPAD) u32,
+    tile_table, t_range, chunk_trange)``, word-identical to
+    ``encode_events_u32_full(bucket_pack_event_batch(...))`` but writing
+    4 B/slot once instead of 16 B/slot plus a vectorized-numpy re-encode
+    (~13x less per-batch host time on a 1-core host; the tiled-raster
+    pipeline's entire host cost is this call)."""
+    batch, cap, _ = packed.shape
+    tiles_y, tiles_x, t_total, epad, n_chunks = _bucket_layout(
+        cap, height, width, tile_h, tile_w, chunk
+    )
+    counts = np.asarray(counts, np.int32)
+    lib = _get_lib()
+    if lib is None or not hasattr(lib, "bucket_pack_batch_u32"):
+        from eventpretrain_tpu.data.codec import encode_events_u32_full
+
+        bucketed, table, t_range, chunk_trange = bucket_pack_event_batch(
+            packed, counts, height=height, width=width, tile_h=tile_h,
+            tile_w=tile_w, chunk=chunk,
+        )
+        enc = encode_events_u32_full(bucketed, t_range, out=out)
+        return enc, table, t_range, chunk_trange
+
+    _bind_bucket_u32(lib)
+    if out is None or out.shape != (batch, epad) or out.dtype != np.uint32:
+        out = np.empty((batch, epad), np.uint32)
+    table = np.empty((batch, n_chunks), np.int32)
+    t_range = np.empty((batch, 2), np.float32)
+    chunk_trange = np.empty((batch, n_chunks, 2), np.float32)
+    packed_c = np.ascontiguousarray(packed, np.float32)
+    lib.bucket_pack_batch_u32(
+        packed_c.ctypes.data_as(ctypes.c_void_p),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        batch, cap, tile_h, tile_w, tiles_x, tiles_y, chunk, epad,
+        out.ctypes.data_as(ctypes.c_void_p),
+        table.ctypes.data_as(ctypes.c_void_p),
+        t_range.ctypes.data_as(ctypes.c_void_p),
+        chunk_trange.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out, table, t_range, chunk_trange
+
+
 def _bind_group_windows(lib):
     if getattr(lib, "_group_windows_bound", False):
         return

@@ -355,4 +355,119 @@ void bucket_pack_batch(const float* packed, const int32_t* counts,
   for (auto& t : threads) t.join();
 }
 
+// Fused tile bucketing + u32 transfer encoding: places each event directly
+// as its encoded uint32 word (data/codec.py layout: x[0:11] | y[11:21] |
+// t[21:31] | sign(p)[31]) instead of bucketing f32 quads and running a
+// separate vectorized-numpy encode pass. One O(E) pass, 4 B/slot written
+// instead of 16 B twice — on the 1-core hosts of this environment that
+// collapses ~267 ms of per-batch host work (103 ms bucket + 163 ms encode,
+// 8x200k events) to ~20 ms. Word values are bit-identical to
+// encode_events_u32_full(bucket_pack_batch(...)) — pinned by
+// tests/test_tiled_voxel.py.
+void bucket_pack_batch_u32(const float* packed, const int32_t* counts,
+                           int64_t batch, int64_t cap, int64_t tile_h,
+                           int64_t tile_w, int64_t tiles_x, int64_t tiles_y,
+                           int64_t chunk, int64_t epad, uint32_t* out,
+                           int32_t* table, float* t_range,
+                           float* chunk_trange) {
+  const int64_t row = 4;
+  const int64_t t_total = tiles_x * tiles_y;
+  const int64_t n_chunks = epad / chunk;
+  // == codec.py X_SENTINEL | Y_SENTINEL << 11 | t_q(t0) << 21 with
+  // t_q(t0) = (int)((t0 - t0) / dt * 1023 + 0.5) = 0 and p = 0
+  const uint32_t kPadWord = 2047u | (1023u << 11);
+
+  int num_threads = std::min<int64_t>(
+      batch, std::max(1u, std::thread::hardware_concurrency()));
+  std::atomic<int64_t> next(0);
+
+  auto worker = [&]() {
+    std::vector<int64_t> cnts(t_total), starts(t_total + 1), fill(t_total);
+    std::vector<int32_t> tids;  // tile id per event, computed once
+    int64_t i;
+    while ((i = next.fetch_add(1)) < batch) {
+      const float* src = packed + i * cap * row;
+      uint32_t* dst = out + i * epad;
+      int32_t* tab = table + i * n_chunks;
+      const int64_t n = counts[i];
+      const float t0 = n > 0 ? src[2] : 0.0f;
+      const float t1 = n > 0 ? src[(n - 1) * row + 2] : 0.0f;
+      // codec.py's numpy encode computes dt as f32(t1-t0) promoted to f64
+      // by np.where(..., 1.0, ...), then divides in f64 — mirror exactly
+      const double dt = (t1 - t0) != 0.0f
+                            ? static_cast<double>(t1 - t0)
+                            : 1.0;
+      t_range[i * 2] = t0;
+      t_range[i * 2 + 1] = t1;
+
+      auto tile_of = [&](const float* e) -> int64_t {
+        int64_t tx = static_cast<int64_t>(e[0]) / tile_w;
+        int64_t ty = static_cast<int64_t>(e[1]) / tile_h;
+        tx = std::min(std::max(tx, int64_t{0}), tiles_x - 1);
+        ty = std::min(std::max(ty, int64_t{0}), tiles_y - 1);
+        return ty * tiles_x + tx;
+      };
+
+      std::fill(cnts.begin(), cnts.end(), 0);
+      tids.resize(static_cast<size_t>(n));
+      for (int64_t e = 0; e < n; ++e) {
+        const int64_t t = tile_of(src + e * row);
+        tids[e] = static_cast<int32_t>(t);
+        ++cnts[t];
+      }
+
+      int64_t off = 0;
+      for (int64_t t = 0; t < t_total; ++t) {
+        starts[t] = off;
+        int64_t region = std::max((cnts[t] + chunk - 1) / chunk, int64_t{1});
+        off += region * chunk;
+      }
+      starts[t_total] = off;
+
+      std::fill(dst, dst + epad, kPadWord);
+      float* ctr = chunk_trange + i * n_chunks * 2;
+      for (int64_t c = 0; c < n_chunks; ++c) {
+        ctr[c * 2] = t0;
+        ctr[c * 2 + 1] = t0;
+      }
+      std::copy(starts.begin(), starts.end() - 1, fill.begin());
+      for (int64_t e = 0; e < n; ++e) {
+        const float* ev = src + e * row;
+        const int64_t dest = fill[tids[e]]++;
+        // encode exactly like codec.py encode_events_u32_full: trunc-to-
+        // int64 coords with sentinel clamp, f32 window-normalized t with
+        // +0.5 rounding, polarity sign bit
+        int64_t x = static_cast<int64_t>(ev[0]);
+        int64_t y = static_cast<int64_t>(ev[1]);
+        if (x < 0 || x >= 2047) x = 2047;
+        if (y < 0 || y >= 1023) y = 1023;
+        const double tq_d =
+            static_cast<double>(ev[2] - t0) / dt * 1023.0 + 0.5;
+        const int64_t tq = static_cast<int64_t>(
+            std::min(std::max(tq_d, 0.0), 1023.0));
+        const uint32_t pos = ev[3] > 0.0f ? 1u : 0u;
+        dst[dest] = static_cast<uint32_t>(x) |
+                    (static_cast<uint32_t>(y) << 11) |
+                    (static_cast<uint32_t>(tq) << 21) | (pos << 31);
+        const int64_t c = dest / chunk;
+        if (dest % chunk == 0) ctr[c * 2] = ev[2];
+        ctr[c * 2 + 1] = ev[2];
+      }
+
+      int64_t c = 0;
+      for (int64_t t = 0; t < t_total; ++t) {
+        const int64_t region_chunks = (starts[t + 1] - starts[t]) / chunk;
+        for (int64_t r = 0; r < region_chunks; ++r)
+          tab[c++] = static_cast<int32_t>(t);
+      }
+      for (; c < n_chunks; ++c) tab[c] = static_cast<int32_t>(t_total - 1);
+    }
+  };
+
+  std::vector<std::thread> threads;
+  threads.reserve(num_threads);
+  for (int t = 0; t < num_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+}
+
 }  // extern "C"

@@ -187,6 +187,31 @@ def test_bucketed_u32_codec_round_trip():
         <= span / 1023.0
 
 
+def test_fused_u32_bucketer_matches_composed():
+    """bucket_pack_event_batch_u32 (one fused C++ pass) must be word-
+    identical to encode_events_u32_full(bucket_pack_event_batch(...)) —
+    the composed path it replaces on the DensePipeline hot path."""
+    from eventpretrain_tpu.data.codec import encode_events_u32_full
+    from eventpretrain_tpu.native import bucket_pack_event_batch_u32
+
+    rng = np.random.default_rng(5)
+    ev, counts = _make_batch([9000, 0, 7, 3111], 9000, rng, h=440, w=640)
+    ev[0, :50, 0] = rng.integers(-3, 700, 50)   # strays hit the clamp path
+    ev[0, :50, 1] = rng.integers(-3, 500, 50)
+    ev[3, :3111, 2] = 7.5                        # degenerate window
+    bucketed, table, t_range, chunk_tr = bucket_pack_event_batch(
+        ev, counts, height=440, width=640
+    )
+    want = encode_events_u32_full(bucketed, t_range)
+    enc, table2, t_range2, chunk_tr2 = bucket_pack_event_batch_u32(
+        ev, counts, height=440, width=640
+    )
+    np.testing.assert_array_equal(enc, want)
+    np.testing.assert_array_equal(table2, table)
+    np.testing.assert_array_equal(t_range2, t_range)
+    np.testing.assert_array_equal(chunk_tr2, chunk_tr)
+
+
 @pytest.mark.parametrize("task,bins", [
     ("semseg", NB),   # voxel grid
     ("semseg", 2),    # ECDP count image
