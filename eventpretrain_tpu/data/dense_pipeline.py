@@ -111,8 +111,10 @@ def _device_preprocess(
     evg = normalize_representation(evg, num_bins)
     out = {"evg": evg}
     if task == "semseg":
+        # labels arrive uint8 (transfer codec); widen on device before the
+        # nearest-resample augment
         out["label"] = apply_semseg_label_augment(
-            labels, params, (label_h, label_w)
+            labels.astype(jnp.int32), params, (label_h, label_w)
         ).astype(jnp.int32)
     else:
         out["flow"] = apply_flow_label_augment(
@@ -188,21 +190,57 @@ class DensePipeline:
             streams, labels, valids = [], [], []
             for i in idx:
                 item = self.source.load(int(i))
-                events = np.asarray(item["events"], np.float64)
-                if self.train and cfg.stream_augment and events.shape[0] > 0:
-                    events = erase_and_add_events(
-                        self.rng, events, (cfg.sensor_height, cfg.sensor_width)
-                    )
-                streams.append(events.astype(np.float32))
+                streams.append(np.asarray(item["events"]))
                 if cfg.task == "semseg":
-                    labels.append(np.asarray(item["label"], np.int32))
+                    # semseg labels are uint8-valued (class ids + 255
+                    # ignore); shipping them as int32 would cost more
+                    # transfer bytes than the event stream itself
+                    # (18 MB vs 14 MB per DSEC batch-16) — keep uint8 on
+                    # the wire, cast on device after the label augment
+                    lab = np.asarray(item["label"])
+                    labels.append(
+                        lab if lab.dtype == np.uint8 else
+                        lab.astype(np.uint8) if
+                        (lab.min() >= 0 and lab.max() <= 255) else
+                        lab.astype(np.int32)
+                    )
                 else:
                     labels.append(np.asarray(item["flow"], np.float32))
                     valids.append(np.asarray(item["valid"], np.float32))
             self._pack_i ^= 1
-            packed, counts = pack_event_batch(
-                streams, cap, out=self._pack_buffers[self._pack_i]
-            )
+            if self.train and cfg.stream_augment:
+                # fused native erase/add + pack (one thread-parallel pass;
+                # the per-sample numpy path cost ~150 ms/batch-16 at DSEC
+                # windows on a 1-core host). Same fallback/draw structure
+                # as ClsPipeline so coupled-draw parity tests can route
+                # through the numpy path.
+                hws = [(float(cfg.sensor_height), float(cfg.sensor_width))
+                       ] * len(idx)
+                windows = [(0, s.shape[0]) for s in streams]
+                seeds = self.rng.integers(0, 2 ** 63, len(idx))
+                native_out = augment_pack_event_batch(
+                    streams, windows, hws, cap, seeds,
+                    out=self._pack_buffers[self._pack_i],
+                )
+                if native_out is not None:
+                    packed, counts = native_out
+                else:
+                    py_streams = [
+                        erase_and_add_events(
+                            self.rng, s.astype(np.float64),
+                            (cfg.sensor_height, cfg.sensor_width),
+                        ).astype(np.float32) if s.shape[0] > 0 else
+                        s.astype(np.float32)
+                        for s in streams
+                    ]
+                    packed, counts = pack_event_batch(
+                        py_streams, cap,
+                        out=self._pack_buffers[self._pack_i],
+                    )
+            else:
+                packed, counts = pack_event_batch(
+                    streams, cap, out=self._pack_buffers[self._pack_i]
+                )
             self._pack_buffers[self._pack_i] = packed
             if self.train:
                 params = sample_view_params(

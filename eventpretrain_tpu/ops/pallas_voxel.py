@@ -362,8 +362,12 @@ def _mxu_tiled_kernel(table_ref, bins_ref, y_ref, x_ref, hi_ref, lo_ref,
     ).astype(jnp.bfloat16)                                    # (TW, K)
     hi = hi_ref[0]   # (NB, K) bf16
     lo = lo_ref[0]
-    bmin = bins_ref[i, j, 0]
-    bmax = bins_ref[i, j, 1]
+    # bmin/bmax ride packed in one i32 (bmin | bmax << 16): a trailing
+    # length-2 dim would be lane-padded 2 -> 128 in SMEM (64x blowup —
+    # 1.75 MB at bs16/DSEC, over the 1 MB SMEM budget; compile failure)
+    bounds = bins_ref[i, j]
+    bmin = bounds & 0xFFFF
+    bmax = bounds >> 16
     for b in range(num_bins):
         # chunks span narrow time slices (time order survives bucketing
         # within a tile), so most of the num_bins matmul pairs are all-zero
@@ -428,9 +432,10 @@ def splat_mxu_tiled(
     n_chunks = e // chunk
     assert tile_table.shape == (b, n_chunks), tile_table.shape
     if bin_range is None:
-        bin_range = jnp.broadcast_to(
-            jnp.asarray([0, c - 1], jnp.int32), (b, n_chunks, 2)
-        )
+        bounds = jnp.full((b, n_chunks), (c - 1) << 16, jnp.int32)
+    else:
+        br = bin_range.astype(jnp.int32)
+        bounds = br[..., 0] | (br[..., 1] << 16)
     hi, lo = _hi_lo_bf16(weights)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -463,7 +468,7 @@ def splat_mxu_tiled(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
     )(
-        tile_table.astype(jnp.int32), bin_range.astype(jnp.int32),
+        tile_table.astype(jnp.int32), bounds,
         y[:, None, :], x[:, None, :], hi, lo,
     )
     out = jnp.transpose(out, (0, 2, 3, 1))  # (B, Hpad, Wpad, C)

@@ -223,6 +223,10 @@ def test_ddd17_train_sample_vs_reference(tmp_path, monkeypatch, num_bins,
     n_window = src.load(0)["events"].shape[0]
     pipe = dpl.DensePipeline(src, our_dense_cfg("semseg", num_bins, DDD17_HW),
                              batch_size=1, train=True, seed=0)
+    # coupled draws ride the numpy erase/add path (native is
+    # distribution-equivalent but draws its own stream)
+    monkeypatch.setattr(dpl, "augment_pack_event_batch",
+                        lambda *a, **k: None)
     np.random.seed(seed)
     view_seed = int(np.random.randint(1000))
     pipe.rng = DenseCoupledRng(n_window, view_seed)
@@ -355,7 +359,7 @@ def test_dsec_val_samples_vs_reference(tmp_path, num_bins):
 
 
 @pytest.mark.parametrize("seed", [1, 4])
-def test_dsec_train_sample_vs_reference(tmp_path, seed):
+def test_dsec_train_sample_vs_reference(tmp_path, monkeypatch, seed):
     """Training path with coupled draws over the rectified window."""
     from dataset.finetune_semseg.ft_dsec_dataset import (
         FinetuneDSECSeqDataset,
@@ -378,6 +382,8 @@ def test_dsec_train_sample_vs_reference(tmp_path, seed):
     n_window = src.load(0)["events"].shape[0]
     pipe = dpl.DensePipeline(src, our_dense_cfg("semseg", 5, DSEC_HW),
                              batch_size=1, train=True, seed=0)
+    monkeypatch.setattr(dpl, "augment_pack_event_batch",
+                        lambda *a, **k: None)
     np.random.seed(seed)
     view_seed = int(np.random.randint(1000))
     pipe.rng = DenseCoupledRng(n_window, view_seed)
@@ -560,7 +566,7 @@ def test_mvsec_val_samples_vs_reference(tmp_path, skip_num):
 
 
 @pytest.mark.parametrize("seed", [2, 9])
-def test_mvsec_train_sample_vs_reference(tmp_path, seed):
+def test_mvsec_train_sample_vs_reference(tmp_path, monkeypatch, seed):
     """Training path with coupled draws: erase/add, then the shared-seed
     evg/flow/valid augmentation with hflip u-negation and time-flip
     uv-negation (ft_mvsec_dataset.py:231-290, view_augment.py:101-134)."""
@@ -589,6 +595,8 @@ def test_mvsec_train_sample_vs_reference(tmp_path, seed):
         src, our_dense_cfg("flow", 5, MVSEC_HW, fix=4000, val_fix=4000),
         batch_size=1, train=True, seed=0,
     )
+    monkeypatch.setattr(dpl, "augment_pack_event_batch",
+                        lambda *a, **k: None)
     np.random.seed(seed)
     view_seed = int(np.random.randint(1000))
     pipe.rng = DenseCoupledRng(n_window, view_seed)
