@@ -12,13 +12,15 @@ bracket the suite.
 Suite sections, in priority order, each gated on the remaining time budget
 (EVENTPRETRAIN_BENCH_BUDGET_S, default 480 s — BENCH_r03 hit the driver's
 timeout with rc=124 inside the serving exports; sections that do not fit
-are recorded as skipped_for_budget instead of truncating the artifact):
+carry their most recent measured row forward with ``carried: true``
+instead of truncating the artifact — see run_suite):
 
-  1. per-phase step suite (benchmarks/bench_all_steps.py)
-  2. MXU event-rasterizer sweep (benchmarks/bench_events.py)
-  3. end-to-end pipeline+step rows for cls / semseg / flow
+  1. MXU event-rasterizer sweep (benchmarks/bench_events.py — north-star
+     raster metric incl. the tiled large-grid kernel row)
+  2. end-to-end pipeline+step rows for cls / semseg / flow
      (benchmarks/bench_e2e.py — delivered samples/s incl. host pipeline,
      VERDICT r3 items 3+8)
+  3. per-phase step suite (benchmarks/bench_all_steps.py)
   4. serving latency incl. export (benchmarks/bench_serving.py)
 
 All of it lands in ``bench_suite.json`` so round-over-round regressions in
@@ -58,75 +60,138 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 REF_SAMPLES_PER_SEC_PER_GPU = 250.0  # see BASELINE.md "Measured baselines"
 
 
+def _load_prev_suite(path: str) -> dict:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _carry(prev_row, skip_row):
+    """A section that does not fit this run's budget keeps its most recent
+    measured row (already stamped with its own ``measured_at``) marked
+    ``carried: true`` — the artifact stays complete, and freshness is
+    explicit, not implied. Falls back to the bare skip marker when no
+    previous measurement exists."""
+    if isinstance(prev_row, dict) and not prev_row.get("skipped_for_budget") \
+            and "error" not in prev_row:
+        return {**prev_row, "carried": True}
+    return skip_row
+
+
 def run_suite(headline: dict, deadline: float) -> None:
-    """Per-phase suite -> bench_suite.json (VERDICT r1 item 6, r3 items
-    3/4/8). Every section checks the remaining budget before starting."""
+    """Budget-boxed suite -> bench_suite.json (VERDICT r1 item 6, r3 items
+    3/4/8).
+
+    One warm (compile-cached) section costs ~50-90 s through the axon
+    relay — executable load dominates, so a 600 s driver budget holds
+    roughly eight sections, not the full sixteen. Priority goes to section
+    BREADTH: the events rasterizer (north-star #2 + the tiled-kernel row)
+    and the e2e delivered-throughput rows run before the per-phase step
+    table (whose values have been stable across rounds — BENCH_r03 vs the
+    round-5 full run agree within noise), and whatever does not fit
+    carries forward from the last measured bench_suite.json with
+    ``carried: true`` + its original ``measured_at`` stamp.
+    """
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    suite_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_suite.json"
+    )
+    prev = _load_prev_suite(suite_path)
+    prev_phases = {
+        p.get("phase"): p for p in prev.get("phases", [])
+        if isinstance(p, dict)
+    }
+    prev_e2e = {}
+    for r in prev.get("e2e", []):
+        if isinstance(r, dict):
+            key = r.get("metric", "").replace(
+                "_vits_train_samples_per_sec", ""
+            )
+            prev_e2e[key] = r
+    stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
 
     def remaining():
         return deadline - time.time()
 
-    from benchmarks import bench_all_steps as bas
-
-    phases = []
-    for name, fn in bas.ALL.items():
-        if remaining() < 25:
-            phases.append({"phase": name, "skipped_for_budget": True})
-            continue
-        try:
-            phases.append(fn())
-        except Exception as e:  # one phase failing must not hide the rest
-            print(f"[suite] {name}: FAILED {type(e).__name__}: "
-                  f"{str(e)[:200]}", file=sys.stderr)
-            phases.append({"phase": name, "error": str(e)[:200]})
-
     events = None
-    if remaining() > 30:
+    if remaining() > 60:
         try:
             from benchmarks.bench_events import main as events_main
 
-            events = events_main()
+            events = {"rows": events_main(), "measured_at": stamp}
         except Exception as e:
             print(f"[suite] events: FAILED {e}", file=sys.stderr)
-    else:
-        events = {"skipped_for_budget": True}
+            events = {"error": str(e)[:200]}
+    if events is None:
+        ev_prev = prev.get("events_rasterizer")
+        if isinstance(ev_prev, list):  # pre-round-5 artifact shape
+            ev_prev = {"rows": ev_prev}
+        events = _carry(ev_prev, {"skipped_for_budget": True})
 
     # end-to-end (pipeline + prefetch + step) delivered throughput
     from benchmarks.bench_e2e import ALL as E2E_ALL
 
     e2e = []
     for name in ("cls", "semseg", "flow"):
-        if remaining() < 70:  # compile-dominated: ~40-70 s each
-            e2e.append({"metric": f"e2e_{name}", "skipped_for_budget": True})
+        if remaining() < 80:  # load-dominated: ~60-90 s each warm
+            e2e.append(_carry(
+                prev_e2e.get(f"e2e_{name}"),
+                {"metric": f"e2e_{name}", "skipped_for_budget": True},
+            ))
             continue
         try:
-            e2e.append(E2E_ALL[name]())
+            e2e.append({**E2E_ALL[name](), "measured_at": stamp})
         except Exception as e:
             print(f"[suite] e2e {name}: FAILED {type(e).__name__}: "
                   f"{str(e)[:200]}", file=sys.stderr)
             e2e.append({"metric": f"e2e_{name}", "error": str(e)[:200]})
+
+    from benchmarks import bench_all_steps as bas
+
+    phases = []
+    for name, fn in bas.ALL.items():
+        # keep enough tail budget for one serving export round
+        if remaining() < 25 + 60:
+            phases.append(_carry(
+                prev_phases.get(name),
+                {"phase": name, "skipped_for_budget": True},
+            ))
+            continue
+        try:
+            phases.append({**fn(), "measured_at": stamp})
+        except Exception as e:  # one phase failing must not hide the rest
+            print(f"[suite] {name}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:200]}", file=sys.stderr)
+            phases.append({"phase": name, "error": str(e)[:200]})
 
     serving = None
     if remaining() > 45:
         try:
             from benchmarks.bench_serving import main as serving_main
 
-            serving = serving_main(deadline=deadline)
+            serving = {"rows": serving_main(deadline=deadline),
+                       "measured_at": stamp}
         except Exception as e:
             print(f"[suite] serving: FAILED {e}", file=sys.stderr)
-    else:
-        serving = {"skipped_for_budget": True}
+            serving = {"error": str(e)[:200]}
+    if serving is None:
+        sv_prev = prev.get("serving_latency")
+        if isinstance(sv_prev, list):
+            sv_prev = {"rows": sv_prev}
+        serving = _carry(sv_prev, {"skipped_for_budget": True})
 
     out = {
         "backend": jax.default_backend(),
+        "run_at": stamp,
         "headline": headline,
         "phases": phases,
         "events_rasterizer": events,
         "e2e": e2e,
         "serving_latency": serving,
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_suite.json"), "w") as f:
+    with open(suite_path, "w") as f:
         json.dump(out, f, indent=1)
     print("[suite] wrote bench_suite.json", file=sys.stderr)
 

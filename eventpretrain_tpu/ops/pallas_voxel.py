@@ -221,6 +221,9 @@ def _hi_lo_bf16(weights: jax.Array) -> tuple[jax.Array, jax.Array]:
     return hi, lo
 
 
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "chunk", "interpret")
+)
 def splat_mxu(
     y: jax.Array,
     x: jax.Array,
@@ -233,6 +236,10 @@ def splat_mxu(
 ) -> jax.Array:
     """Generic per-event splat on the MXU: ``(B, C, E)`` weights scattered
     at integer coords ``y, x (B, E)`` into ``(B, H, W, C)`` images.
+
+    Jitted at this boundary (like the tiled variants below): the BlockSpec
+    lambdas are fresh objects per Python call, so unjitted calls would
+    recompile every invocation.
 
     The shared engine behind the voxel grid (C = num_bins bilinear
     weights), the ECDP count image (C = 2 polarity indicators), and the
@@ -277,6 +284,10 @@ def splat_mxu(
     return jnp.transpose(out, (0, 2, 3, 1))  # (B, H, W, C)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_bins", "height", "width", "chunk", "interpret"),
+)
 def voxelize_batch_mxu(
     events: jax.Array,
     counts: jax.Array,
