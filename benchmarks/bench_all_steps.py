@@ -293,9 +293,11 @@ ALL = {
     "con": bench_con,
     "swin_rec": bench_swin_rec,
     "ecdp": bench_ecdp,
-    "con_queue": lambda: bench_con(True),
+    # keys == the row "phase" names so bench.py's carry-forward lookup
+    # (run_suite prev_phases) matches rows from earlier artifacts
+    "con+q": lambda: bench_con(True),
     "adj": lambda: bench_con(freeze=True),
-    "rec_con": bench_rec_con,
+    "rec+con": bench_rec_con,
     "cls": bench_cls,
     "linprob": bench_linprob,
     "semseg": bench_semseg,
