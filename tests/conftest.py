@@ -4,6 +4,10 @@ The axon sitecustomize pins JAX_PLATFORMS=axon (single real TPU chip); tests
 run on CPU with 8 virtual devices so multi-device sharding paths are exercised
 without hardware (the TPU-native analogue of the reference's DDP-less CPU
 smoke mode, reference main_pretrain.py:71-88).
+
+Set EVENTPRETRAIN_TEST_TPU=1 to keep the real TPU backend instead — this
+enables the compiled-kernel tier (tests/test_tpu_compiled.py, skipped on
+CPU) and runs everything else single-device on the chip.
 """
 
 import os
@@ -17,7 +21,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("EVENTPRETRAIN_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
