@@ -120,7 +120,16 @@ def encode_events_u32(
     """(B, E, 4) f32 xytp + (B,) counts -> ((B, E) uint32, (B, 2) f32 t-range).
 
     Layout per word: x[0:11] | y[11:21] | t[21:31] | sign(p)[31].
+
+    Dispatches to the native encoder when available (~8x on a 1-core
+    host; word-identical, pinned by tests/test_native_pack.py) and keeps
+    this numpy loop as the executable specification and fallback.
     """
+    from eventpretrain_tpu.native import encode_events_u32_native
+
+    native = encode_events_u32_native(packed, counts, out=out)
+    if native is not None:
+        return native
     b, e, _ = packed.shape
     if out is None or out.shape != (b, e) or out.dtype != np.uint32:
         out = np.empty((b, e), np.uint32)

@@ -37,6 +37,10 @@ def _build_library() -> Optional[ctypes.CDLL]:
     ):
         cmd = [
             "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+            # no FMA contraction: the u32 codec paths are pinned
+            # bit-identical to numpy, which evaluates mul and add as
+            # separate correctly-rounded f32 ops
+            "-ffp-contract=off",
             "-pthread", src, "-o", lib_path + ".tmp",
         ]
         try:
@@ -333,6 +337,49 @@ def bucket_pack_event_batch(
         )
         table[i, used:] = t_total - 1
     return out, table, t_range, chunk_trange
+
+
+def _bind_encode_u32(lib):
+    if getattr(lib, "_encode_u32_bound", False):
+        return
+    lib.encode_u32_prefix.argtypes = [
+        ctypes.c_void_p,                        # packed (B, cap, 4) f32
+        ctypes.POINTER(ctypes.c_int32),         # counts (B,)
+        ctypes.c_int64, ctypes.c_int64,         # batch, cap
+        ctypes.c_void_p,                        # out (B, cap) u32
+        ctypes.c_void_p,                        # t_range (B, 2) f32
+    ]
+    lib.encode_u32_prefix.restype = None
+    lib._encode_u32_bound = True
+
+
+def encode_events_u32_native(
+    packed: np.ndarray,
+    counts: np.ndarray,
+    out: Optional[np.ndarray] = None,
+) -> Optional[tuple[np.ndarray, np.ndarray]]:
+    """Native prefix-layout u32 transfer encoder (word-identical to
+    data/codec.py::encode_events_u32's numpy loop — see that function,
+    which calls this first). Returns None when the library is unavailable.
+    """
+    lib = _get_lib()
+    if lib is None or not hasattr(lib, "encode_u32_prefix"):
+        return None
+    _bind_encode_u32(lib)
+    batch, cap, _ = packed.shape
+    counts = np.asarray(counts, np.int32)
+    if out is None or out.shape != (batch, cap) or out.dtype != np.uint32:
+        out = np.empty((batch, cap), np.uint32)
+    t_range = np.empty((batch, 2), np.float32)
+    packed_c = np.ascontiguousarray(packed, np.float32)
+    lib.encode_u32_prefix(
+        packed_c.ctypes.data_as(ctypes.c_void_p),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        batch, cap,
+        out.ctypes.data_as(ctypes.c_void_p),
+        t_range.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out, t_range
 
 
 def _bind_bucket_u32(lib):

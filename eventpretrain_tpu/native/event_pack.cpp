@@ -355,6 +355,61 @@ void bucket_pack_batch(const float* packed, const int32_t* counts,
   for (auto& t : threads) t.join();
 }
 
+// Prefix-layout u32 transfer encoding (the cls/pretrain pipelines' wire
+// format, data/codec.py::encode_events_u32): valid events lead each row,
+// the time window reads off slots 0 / n-1, pad slots encode to 0. Word
+// values are bit-identical to the vectorized-numpy encoder (f64 divide
+// path mirrored); this exists because that encoder costs ~33 ms per
+// batch-64x30k on a 1-core host vs ~4 ms here.
+void encode_u32_prefix(const float* packed, const int32_t* counts,
+                       int64_t batch, int64_t cap, uint32_t* out,
+                       float* t_range) {
+  const int64_t row = 4;
+  int num_threads = std::min<int64_t>(
+      batch, std::max(1u, std::thread::hardware_concurrency()));
+  std::atomic<int64_t> next(0);
+
+  auto worker = [&]() {
+    int64_t i;
+    while ((i = next.fetch_add(1)) < batch) {
+      const float* src = packed + i * cap * row;
+      uint32_t* dst = out + i * cap;
+      const int64_t n = counts[i];
+      const float t0 = n > 0 ? src[2] : 0.0f;
+      const float t1 = n > 0 ? src[(n - 1) * row + 2] : 0.0f;
+      // numpy 2 (NEP 50) keeps the whole chain float32: python-float
+      // scalars are weak, so (ev - t0) / dt * 1023.0 + 0.5 evaluates in
+      // f32. dt is the correctly-rounded f32 difference (the numpy
+      // side's f64 python subtraction rounds to the same f32 at use).
+      float dtf = t1 - t0;
+      if (dtf == 0.0f) dtf = 1.0f;
+      for (int64_t e = 0; e < n; ++e) {
+        const float* ev = src + e * row;
+        int64_t x = static_cast<int64_t>(ev[0]);
+        int64_t y = static_cast<int64_t>(ev[1]);
+        if (x < 0 || x >= 2047) x = 2047;
+        if (y < 0 || y >= 1023) y = 1023;
+        const float tq_f = (ev[2] - t0) / dtf * 1023.0f + 0.5f;
+        const int64_t tq = static_cast<int64_t>(
+            std::min(std::max(tq_f, 0.0f), 1023.0f));
+        const uint32_t pos = ev[3] > 0.0f ? 1u : 0u;
+        dst[e] = static_cast<uint32_t>(x) |
+                 (static_cast<uint32_t>(y) << 11) |
+                 (static_cast<uint32_t>(tq) << 21) | (pos << 31);
+      }
+      std::memset(dst + n, 0,
+                  static_cast<size_t>(cap - n) * sizeof(uint32_t));
+      t_range[i * 2] = t0;
+      t_range[i * 2 + 1] = t1;
+    }
+  };
+
+  std::vector<std::thread> threads;
+  threads.reserve(num_threads);
+  for (int t = 0; t < num_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+}
+
 // Fused tile bucketing + u32 transfer encoding: places each event directly
 // as its encoded uint32 word (data/codec.py layout: x[0:11] | y[11:21] |
 // t[21:31] | sign(p)[31]) instead of bucketing f32 quads and running a
@@ -392,11 +447,10 @@ void bucket_pack_batch_u32(const float* packed, const int32_t* counts,
       const int64_t n = counts[i];
       const float t0 = n > 0 ? src[2] : 0.0f;
       const float t1 = n > 0 ? src[(n - 1) * row + 2] : 0.0f;
-      // codec.py's numpy encode computes dt as f32(t1-t0) promoted to f64
-      // by np.where(..., 1.0, ...), then divides in f64 — mirror exactly
-      const double dt = (t1 - t0) != 0.0f
-                            ? static_cast<double>(t1 - t0)
-                            : 1.0;
+      // codec.py's numpy encode stays float32 end to end under numpy 2
+      // (NEP 50 weak scalars: np.where(..., 1.0, f32) is f32, and the
+      // divide/scale/round chain keeps the array dtype) — mirror that
+      const float dt = (t1 - t0) != 0.0f ? (t1 - t0) : 1.0f;
       t_range[i * 2] = t0;
       t_range[i * 2 + 1] = t1;
 
@@ -441,10 +495,9 @@ void bucket_pack_batch_u32(const float* packed, const int32_t* counts,
         int64_t y = static_cast<int64_t>(ev[1]);
         if (x < 0 || x >= 2047) x = 2047;
         if (y < 0 || y >= 1023) y = 1023;
-        const double tq_d =
-            static_cast<double>(ev[2] - t0) / dt * 1023.0 + 0.5;
+        const float tq_f = (ev[2] - t0) / dt * 1023.0f + 0.5f;
         const int64_t tq = static_cast<int64_t>(
-            std::min(std::max(tq_d, 0.0), 1023.0));
+            std::min(std::max(tq_f, 0.0f), 1023.0f));
         const uint32_t pos = ev[3] > 0.0f ? 1u : 0u;
         dst[dest] = static_cast<uint32_t>(x) |
                     (static_cast<uint32_t>(y) << 11) |

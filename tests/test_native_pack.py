@@ -114,3 +114,30 @@ def test_group_windows_native_matches_numpy_dp(rng):
         occ = np.asarray(wt)
         num_ele = [int(occ[i].sum()) for i in grouped_idx]
         assert (num_ele, grouped_idx) == expect
+
+
+def test_encode_u32_native_matches_numpy(rng):
+    """The native prefix-layout u32 encoder must be word-identical to the
+    numpy specification loop in data/codec.py (f32 NEP-50 arithmetic,
+    sentinel clamps, degenerate windows, zeroed pads)."""
+    from eventpretrain_tpu.data import codec
+
+    streams = _streams(rng, batch=6, max_n=4000)
+    # strays exercise the sentinel clamp; one degenerate window
+    streams[0][:20, 0] = rng.integers(-5, 3000, 20)
+    streams[0][:20, 1] = rng.integers(-5, 1500, 20)
+    streams[1][:, 2] = 42.0
+    packed, counts = native.pack_event_batch(streams, 4100)
+    counts[2] = 0  # empty-sample row
+
+    got = codec.encode_events_u32(packed, counts)
+
+    lib, backend = native._LIB, native.BACKEND
+    native._LIB, native.BACKEND = None, "numpy-forced"
+    try:
+        want = codec.encode_events_u32(packed, counts)
+    finally:
+        native._LIB, native.BACKEND = lib, backend
+
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[1], want[1])
