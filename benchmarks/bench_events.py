@@ -111,6 +111,19 @@ def main():
     for ev, counts in raw_sets:
         bucket_pack_event_batch(ev, counts, height=h, width=w, out=out_buf)
     host_ms = (time.perf_counter() - t0) / len(raw_sets) * 1e3
+    # production host path: bucketing fused with the u32 transfer codec
+    # (what DensePipeline actually runs — native/bucket_pack_event_batch_u32)
+    from eventpretrain_tpu.native import bucket_pack_event_batch_u32
+
+    enc_buf = bucket_pack_event_batch_u32(
+        raw_sets[0][0], raw_sets[0][1], height=h, width=w
+    )[0]
+    t0 = time.perf_counter()
+    for ev, counts in raw_sets:
+        bucket_pack_event_batch_u32(
+            ev, counts, height=h, width=w, out=enc_buf
+        )
+    host_u32_ms = (time.perf_counter() - t0) / len(raw_sets) * 1e3
     # untimed re-run to materialize per-set results for the device timing
     # (bucketing is deterministic, so these equal the timed pass's outputs)
     bucketed_sets = [
@@ -130,6 +143,7 @@ def main():
         "ms": round(dt_tiled * 1e3, 3),
         "m_events_per_sec": round(b * e / dt_tiled / 1e6, 1),
         "host_bucket_ms": round(host_ms, 3),
+        "host_bucket_u32_fused_ms": round(host_u32_ms, 3),
         # device-kernel speedup over the XLA scatter row at the same shape
         "vs_scatter": round(results[-1]["ms"] / (dt_tiled * 1e3), 2),
     }
