@@ -117,11 +117,13 @@ def _device_preprocess(
             labels.astype(jnp.int32), params, (label_h, label_w)
         ).astype(jnp.int32)
     else:
+        # widen wire dtypes on device (f16 gt / u8 valid under compact
+        # transfer) before the resampling augments
         out["flow"] = apply_flow_label_augment(
-            labels, params, (label_h, label_w)
+            labels.astype(jnp.float32), params, (label_h, label_w)
         )
         out["valid"] = apply_flow_valid_augment(
-            valid, params, (label_h, label_w)
+            valid.astype(jnp.float32), params, (label_h, label_w)
         )
         # sparse val mask from the UNAUGMENTED original-resolution grid
         # (reference ft_flow_trainer.py:198-199 uses events_voxel_grid_org,
@@ -205,8 +207,16 @@ class DensePipeline:
                         lab.astype(np.int32)
                     )
                 else:
-                    labels.append(np.asarray(item["flow"], np.float32))
-                    valids.append(np.asarray(item["valid"], np.float32))
+                    # flow gt rides the wire as f16 under compact_transfer
+                    # (~1e-3 relative on gt vectors, documented in
+                    # PARITY.md; pass compact_transfer=False for exact
+                    # f32 — the parity tests do); the valid mask is 0/1
+                    # so uint8 is lossless
+                    labels.append(np.asarray(
+                        item["flow"],
+                        np.float16 if cfg.compact_transfer else np.float32,
+                    ))
+                    valids.append(np.asarray(item["valid"]).astype(np.uint8))
             self._pack_i ^= 1
             if self.train and cfg.stream_augment:
                 # fused native erase/add + pack (one thread-parallel pass;
